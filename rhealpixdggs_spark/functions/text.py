@@ -1,0 +1,105 @@
+"""Text-analysis column expressions for large-scale training-data
+pipelines: token counting, quality scoring, language ID, document
+fingerprinting.
+
+All pure pyspark.sql.functions (JVM, whole-stage codegen) — no Python
+in the hot path. Each has an ANSI-SQL twin in __spark_entry__.py's
+oracle set so DuckDB can verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the language heuristic.
+STOPWORDS_EN = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"]
+STOPWORDS_FR = ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"]
+STOPWORDS_ES = ["el", "la", "los", "y", "es", "un", "una", "en", "para", "que"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: split on word/number/punct boundaries
+    (a cheap stand-in for a BPE tokenizer's piece count)."""
+    parts = F.split(text, r"(?<=[a-z0-9])(?=[A-Z])|\s+|(?=[^A-Za-z0-9\s])")
+    return F.size(F.filter(parts, lambda p: F.length(p) > 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped) / F.length(text)
+    )
+
+
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column, words: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    hits = _stopword_hits(text, words or STOPWORDS_EN)
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic heuristic quality score in [0, 1]: rewards
+    mid-length documents and prose-like punctuation/stopword rates."""
+    n = token_count(text)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    stop_score = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return F.round((len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3), 6)
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram-free language heuristic: highest stopword-hit count among
+    {en, de, fr, es}, ties broken in that fixed order; 'und'
+    (undetermined) when nothing hits."""
+    en = _stopword_hits(text, STOPWORDS_EN)
+    de = _stopword_hits(text, STOPWORDS_DE)
+    fr = _stopword_hits(text, STOPWORDS_FR)
+    es = _stopword_hits(text, STOPWORDS_ES)
+    best = F.greatest(en, de, fr, es)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 hex) — the exact-dedup
+    key; identical builtin exists in DuckDB for the oracle."""
+    return F.md5(text)
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of word n-grams (space-joined) for Jaccard similarity."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )

@@ -1,0 +1,255 @@
+"""Arrow pandas UDFs wrapping the NumPy kernels, plus native column
+expressions for the operators that need no Python at all.
+
+Design rules (SURVEY.md section 2.3/4.2):
+- Hierarchy operators (parent, resolution, base cell, validity,
+  center child) are pure Catalyst column expressions — substring /
+  length / rlike / rpad — so they stay inside whole-stage codegen.
+- Geometry operators (encode, centroid, boundary, neighbors, k_ring)
+  are SCALAR pandas UDFs over Arrow batches; each batch is one fused
+  NumPy kernel call. The DggsConfig dataclass is captured in the
+  closure (tiny, broadcast with the task).
+- Mixed-resolution batches are grouped by suid length inside the UDF
+  (the kernels are uniform-resolution).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..kernel import cells as KC
+from ..kernel import neighbors as KN
+from ..kernel.constants import WGS84_003, DggsConfig
+
+__all__ = [
+    "rhp_encode",
+    "rhp_centroid",
+    "rhp_nucleus",
+    "rhp_boundary",
+    "rhp_neighbors",
+    "rhp_k_ring",
+    "rhp_level_order_index",
+    "rhp_parent",
+    "rhp_resolution",
+    "rhp_base_cell",
+    "rhp_is_valid_col",
+    "rhp_center_child",
+    "cell_width_col",
+    "cell_area_col",
+]
+
+
+def _group_by_length(ids: pd.Series):
+    """Yield (index, numpy str array) per uniform suid length, skipping
+    nulls."""
+    mask = ids.notna()
+    if not mask.any():
+        return
+    valid = ids[mask]
+    lengths = valid.str.len()
+    for length in lengths.unique():
+        sub = valid[lengths == length]
+        yield sub.index, sub.to_numpy(dtype=object).astype(str)
+
+
+# ---------------------------------------------------------------------------
+# Encode / decode UDFs
+# ---------------------------------------------------------------------------
+
+
+def rhp_encode(
+    lon: Column, lat: Column, resolution: int, cfg: DggsConfig = WGS84_003,
+    plane: bool = False,
+) -> Column:
+    """(lon, lat) -> suid string at fixed resolution.
+
+    Spark equivalent of geo_to_rhp (rhp_wrappers.py:46-77) /
+    cell_from_point (dggs.py:737-831); one fused NumPy kernel per
+    Arrow batch.
+    """
+
+    @pandas_udf(T.StringType())
+    def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
+        out = KC.encode(
+            cfg,
+            lo.to_numpy(dtype=np.float64, na_value=np.nan),
+            la.to_numpy(dtype=np.float64, na_value=np.nan),
+            resolution,
+            plane=plane,
+        )
+        return pd.Series(out, index=lo.index, dtype=object)
+
+    return _enc(lon, lat)
+
+
+def _decode_udf(cfg: DggsConfig, fn, ret_type):
+    """Shared mixed-resolution decode wrapper."""
+
+    @pandas_udf(ret_type)
+    def _dec(ids: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(ids), index=ids.index, dtype=object)
+        for idx, arr in _group_by_length(ids):
+            face, digits = KC.parse_suids(arr)
+            out[idx] = fn(face, digits)
+        return out
+
+    return _dec
+
+
+_POINT_TYPE = T.StructType(
+    [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
+)
+_RING_TYPE = T.ArrayType(_POINT_TYPE)
+
+
+def _point_udf(cfg: DggsConfig, kernel_fn):
+    """suid -> struct(lon, lat). Struct-returning scalar pandas UDFs
+    return a pd.DataFrame whose columns are the struct fields."""
+
+    @pandas_udf(_POINT_TYPE)
+    def _dec(ids: pd.Series) -> pd.DataFrame:
+        lon = pd.Series(np.nan, index=ids.index, dtype=np.float64)
+        lat = pd.Series(np.nan, index=ids.index, dtype=np.float64)
+        for idx, arr in _group_by_length(ids):
+            face, digits = KC.parse_suids(arr)
+            lo, la = kernel_fn(face, digits)
+            lon[idx] = np.asarray(lo)
+            lat[idx] = np.asarray(la)
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return _dec
+
+
+def rhp_centroid(cell_id: Column, cfg: DggsConfig = WGS84_003, plane: bool = False) -> Column:
+    """suid -> struct(lon, lat) centroid (rhp_to_geo,
+    rhp_wrappers.py:80-120; cell.centroid, cell.py:1061-1147)."""
+    return _point_udf(cfg, lambda f, d: KC.centroid(cfg, f, d, plane=plane))(cell_id)
+
+
+def rhp_nucleus(cell_id: Column, cfg: DggsConfig = WGS84_003, plane: bool = False) -> Column:
+    """suid -> struct(lon, lat) nucleus (cell.py:625-653)."""
+    return _point_udf(cfg, lambda f, d: KC.nucleus(cfg, f, d, plane=plane))(cell_id)
+
+
+def rhp_boundary(
+    cell_id: Column, cfg: DggsConfig = WGS84_003, plane: bool = False,
+    geo_json: bool = False,
+) -> Column:
+    """suid -> array<struct(lon, lat)> corner ring
+    (rhp_to_geo_boundary, rhp_wrappers.py:218-265)."""
+
+    def fn(face, digits):
+        if plane:
+            rows = KC.vertices_planar(cfg, face, digits)
+        else:
+            rows = KC.vertices(cfg, face, digits, plane=False)
+        rings = [
+            [{"lon": float(p[0]), "lat": float(p[1])} for p in row] for row in rows
+        ]
+        if geo_json:
+            rings = [r + [r[0]] for r in rings]
+        return rings
+
+    return _decode_udf(cfg, fn, _RING_TYPE)(cell_id)
+
+
+def rhp_neighbors(cell_id: Column, cfg: DggsConfig = WGS84_003, plane: bool = True) -> Column:
+    """suid -> map<direction, suid> (cell.neighbors, cell.py:1347-1446)."""
+
+    def fn(face, digits):
+        if plane:
+            nbs = KN.neighbors_planar(cfg, face, digits)
+            strs = {nm: KC.suid_strings(f, d) for nm, (f, d) in nbs.items()}
+            return [
+                {nm: str(strs[nm][i]) for nm in strs} for i in range(face.shape[0])
+            ]
+        return KN.neighbors_ellipsoidal(cfg, face, digits)
+
+    return _decode_udf(cfg, fn, T.MapType(T.StringType(), T.StringType()))(cell_id)
+
+
+def rhp_k_ring(cell_id: Column, k: int, cfg: DggsConfig = WGS84_003) -> Column:
+    """suid -> array<suid> filled disk (k_ring, rhp_wrappers.py:471-507).
+    The kNN expansion primitive."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _kr(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [KN.k_ring(cfg, s, k) if s is not None else None for s in ids],
+            index=ids.index,
+            dtype=object,
+        )
+
+    return _kr(cell_id)
+
+
+def rhp_level_order_index(cell_id: Column, cfg: DggsConfig = WGS84_003) -> Column:
+    """suid -> int64 level-order index (cell.py:260-267): the packed
+    sort/range-join key."""
+
+    def fn(face, digits):
+        return [int(v) for v in KC.level_order_index(cfg, face, digits)]
+
+    return _decode_udf(cfg, fn, T.LongType())(cell_id)
+
+
+# ---------------------------------------------------------------------------
+# Pure column expressions (no Python) — hierarchy algebra
+# ---------------------------------------------------------------------------
+
+
+def rhp_parent(cell_id: Column, res: int) -> Column:
+    """Truncate suid to resolution res (rhp_to_parent,
+    rhp_wrappers.py:123-160): substring, codegen'd."""
+    return F.substring(cell_id, 1, res + 1)
+
+
+def rhp_resolution(cell_id: Column) -> Column:
+    """length - 1 (rhp_get_resolution, rhp_wrappers.py:268-281)."""
+    return (F.length(cell_id) - F.lit(1)).cast("int")
+
+
+def rhp_base_cell(cell_id: Column) -> Column:
+    """First character (rhp_get_base_cell, rhp_wrappers.py:284-296)."""
+    return F.substring(cell_id, 1, 1)
+
+
+def rhp_is_valid_col(cell_id: Column, cfg: DggsConfig = WGS84_003) -> Column:
+    """Grammar check (rhp_is_valid, rhp_wrappers.py:299-332)."""
+    hi = str(cfg.N_side**2 - 1)
+    return cell_id.rlike(f"^[NOPQRS][0-{hi}]*$") & (
+        F.length(cell_id) <= cfg.max_resolution + 1
+    )
+
+
+def rhp_center_child(cell_id: Column, res: Column | int | None = None,
+                     cfg: DggsConfig = WGS84_003) -> Column:
+    """Append center digits (rhp_to_center_child,
+    rhp_wrappers.py:163-215); rpad with the center digit."""
+    c = str((cfg.N_side**2 - 1) // 2)
+    if res is None:
+        return F.concat(cell_id, F.lit(c))
+    target = F.lit(res) + 1 if isinstance(res, int) else res + 1
+    return F.when(F.length(cell_id) >= target, cell_id).otherwise(
+        F.rpad(cell_id, target, c)
+    )
+
+
+def cell_width_col(resolution: Column | int, cfg: DggsConfig = WGS84_003) -> Column:
+    """Planar width R_A*(pi/2)*N^-res (dggs.py:671-687), pure math."""
+    res = F.lit(resolution) if isinstance(resolution, int) else resolution
+    return F.lit(cfg.R_A * (np.pi / 2)) * F.pow(F.lit(float(cfg.N_side)), -res)
+
+
+def cell_area_col(
+    resolution: Column | int, cfg: DggsConfig = WGS84_003, plane: bool = True
+) -> Column:
+    """Cell area (dggs.py:689-708), pure math."""
+    w = cell_width_col(resolution, cfg)
+    a = w * w
+    return a if plane else F.lit(8 / (3 * np.pi)) * a

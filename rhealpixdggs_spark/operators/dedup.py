@@ -1,0 +1,225 @@
+"""Deduplication operators for web-scale document tables.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash —
+each as a DataFrame planner built on JVM-side expressions. Python
+never touches a row; signatures and buckets are computed with
+explode/groupBy/bitwise column math so the shuffle keys (band hashes,
+simhash prefixes) are what Spark partitions on at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.text import fingerprint, tokens, word_ngrams
+
+# Mersenne prime modulus for the minhash family h_i(x) = (a_i*x+b_i) % P.
+# 2^31-1 keeps a*h below 2^62 so ANSI int64 arithmetic cannot overflow.
+_MINHASH_P = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", keep: str = "min"
+) -> DataFrame:
+    """Keep one representative per byte-identical text (md5 key).
+    Returns the survivors with a dup_count column. Two-stage agg —
+    partial map-side combine on the hash — no row comparison."""
+    keyed = df.withColumn("_fp", fingerprint(F.col(text_col)))
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    winners = keyed.groupBy("_fp").agg(
+        agg.alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+    return (
+        keyed.drop("dup_count")
+        .join(winners.select("_fp", id_col, "dup_count"), ["_fp", id_col])
+        .drop("_fp")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents (size >= 2): fingerprint,
+    group size, member ids."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .where(F.col("dup_count") >= 2)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard above threshold.
+
+    Exact but O(n^2) in candidate pairs — intended for verification and
+    for re-ranking candidates out of minhash_lsh_candidates at scale.
+    The distinct-ngram arrays are precomputed once per side.
+    """
+    grams = df.select(
+        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("g").alias("g_a"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("g_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: shingle -> xxhash64 -> family of
+    (a*h+b) % P minima, all as column expressions (explode + groupBy
+    min, map-side partial agg)."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MINHASH_P), rnd.randrange(0, _MINHASH_P)) for _ in range(num_hashes)]
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_s"),
+    ).withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MINHASH_P)))
+    mins = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding: hash each band
+    of the signature, self-join on (band, band_hash). The join key is
+    the band hash — the classic shuffle-friendly near-dup plan."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col, seed)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b2 = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b2, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash per document: per-token xxhash64, sum of +/-1 votes per
+    bit, sign -> bit. 'bits' bitwise aggregates, all JVM-side."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block the signature into `blocks`
+    chunks (pigeonhole: any pair within max_hamming < blocks shares at
+    least one exact block), equi-join per block, verify Hamming
+    distance with bit_count."""
+    sig = simhash(df, bits, text_col, id_col)
+    width = bits // blocks
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    keyed = sig.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.blk").alias("blk"), F.col("c.bv").alias("bv")
+    )
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "bv")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "bv")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["blk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs; for the
+    LSH-bucketed scale path see similarity.lsh_buckets)."""
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,231 @@
+"""Spatial join and aggregation planners.
+
+All "custom" logic lives here as DataFrame rewrites — no Catalyst
+rules, no JVM code (SURVEY.md section 4.2). Each helper emits a plan
+Catalyst already knows how to optimize:
+
+- containment_join: hierarchy containment (tile at res r contains
+  point at res >= r) rewritten to an equi-join on
+  substring(point_cell, 1, r+1) — sort-merge or broadcast-hash, never
+  a LIKE-prefix theta join.
+- cell_agg: per-cell aggregation with optional two-phase salting for
+  hot cells (dense urban cells at res 9; SURVEY.md section 2.7).
+- knn_join: exact brute-force top-k (correctness baseline, broadcast
+  queries) and ring-expansion candidate pruning (the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.udfs import rhp_k_ring
+from ..kernel.constants import WGS84_003, DggsConfig
+
+
+def containment_join(
+    points: DataFrame,
+    tiles: DataFrame,
+    point_cell: str = "cell_id",
+    tile_cell: str = "tile_id",
+    how: str = "inner",
+    broadcast_tiles: bool = True,
+) -> DataFrame:
+    """Join points to the tiles that contain them in the cell hierarchy.
+
+    Containment == suid prefix (cell.py:437-454). Tiles may mix
+    resolutions: we group tiles by resolution and union one equi-join
+    per resolution, each on the materialized prefix column — Catalyst
+    sees plain equi-joins (broadcastable / sort-merge-able) instead of
+    an un-plannable startswith() theta join.
+    """
+    res_rows = [
+        r[0]
+        for r in tiles.select((F.length(tile_cell) - 1).alias("r")).distinct().collect()
+    ]
+    parts = []
+    for r in sorted(res_rows):
+        t = tiles.where(F.length(tile_cell) == r + 1)
+        if broadcast_tiles:
+            t = F.broadcast(t)
+        key = F.substring(F.col(point_cell), 1, r + 1)
+        parts.append(points.join(t, key == F.col(tile_cell), how))
+    if not parts:
+        # No tiles: inner join result is empty with the joined schema.
+        empty = tiles.limit(0)
+        return points.join(empty, F.lit(False), how)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def prefix_agg(
+    points: DataFrame,
+    res: int,
+    aggs: list[Column],
+    point_cell: str = "cell_id",
+    out_col: str = "tile_id",
+) -> DataFrame:
+    """Roll points up to resolution `res` and aggregate — the
+    hierarchy rollup (rhp_to_parent as substring + groupBy). Partial
+    aggregation is map-side automatically."""
+    return (
+        points.withColumn(out_col, F.substring(F.col(point_cell), 1, res + 1))
+        .groupBy(out_col)
+        .agg(*aggs)
+    )
+
+
+def cell_agg(
+    df: DataFrame,
+    cell_col: str,
+    aggs: dict[str, Column],
+    n_salt: int = 0,
+) -> DataFrame:
+    """Per-cell aggregation with optional explicit salting.
+
+    With n_salt > 0, aggregates in two phases: first on
+    (cell, hash(row) % n_salt) so a hot cell's rows spread over n_salt
+    reducers, then re-aggregate the partials. Only algebraic aggregates
+    (count / sum / min / max) are supported in salted mode — which is
+    what the per-cell rollups use. AQE skew-join handles the join side;
+    this handles the groupBy side, which AQE does not split.
+    """
+    if n_salt <= 0:
+        return df.groupBy(cell_col).agg(*[c.alias(n) for n, c in aggs.items()])
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    )
+    partial = salted.groupBy(cell_col, "_salt").agg(
+        *[c.alias(f"_p_{n}") for n, c in aggs.items()]
+    )
+    # Merge partials: counts/sums re-sum, min/max re-apply.
+    merged = []
+    for n, c in aggs.items():
+        fn_name = c._jc.toString().lower() if hasattr(c, "_jc") else ""
+        col = F.col(f"_p_{n}")
+        if fn_name.startswith("count(") or fn_name.startswith("sum("):
+            merged.append(F.sum(col).alias(n))
+        elif fn_name.startswith("min("):
+            merged.append(F.min(col).alias(n))
+        elif fn_name.startswith("max("):
+            merged.append(F.max(col).alias(n))
+        else:
+            merged.append(F.sum(col).alias(n))
+    return partial.groupBy(cell_col).agg(*merged)
+
+
+def top_k_cells(
+    df: DataFrame, cell_col: str = "cell_id", k: int = 10, count_col: str = "n"
+) -> DataFrame:
+    """Densest cells: groupBy + orderBy + limit compiles to partial agg
+    + TakeOrderedAndProject (no full sort)."""
+    return (
+        df.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .orderBy(F.desc(count_col), cell_col)
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def _chord_dist2(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+                 cfg: DggsConfig) -> Column:
+    """Squared 3D chord distance on the ellipsoid (Ellipsoid.xyz,
+    ellipsoids.py:328-350) as pure column math — monotone in geodesic
+    distance, so valid for top-k ranking."""
+    a, e2 = cfg.a, cfg.e**2
+
+    def xyz(lon, lat):
+        lam = F.radians(lon)
+        phi = F.radians(lat)
+        N = F.lit(a) / F.sqrt(1 - F.lit(e2) * F.pow(F.sin(phi), 2))
+        return (
+            N * F.cos(lam) * F.cos(phi),
+            N * F.sin(lam) * F.cos(phi),
+            N * (1 - F.lit(e2)) * F.sin(phi),
+        )
+
+    x1, y1, z1 = xyz(lon1, lat1)
+    x2, y2, z2 = xyz(lon2, lat2)
+    return (x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2
+
+
+def knn_join_brute(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    point_cols=("lon", "lat"),
+    query_cols=("q_lon", "q_lat"),
+    query_id: str = "query_id",
+    point_id: str | None = None,
+    cfg: DggsConfig = WGS84_003,
+) -> DataFrame:
+    """Exact kNN: broadcast the (small) query set against every point,
+    rank by chord distance per query. O(|P|x|Q|) compute but a single
+    scan of P, no shuffle of P beyond the window — the correctness
+    baseline for the ring-expansion variant. Pass point_id for a
+    deterministic tie-break."""
+    joined = points.crossJoin(F.broadcast(queries))
+    d2 = _chord_dist2(
+        F.col(point_cols[0]), F.col(point_cols[1]),
+        F.col(query_cols[0]), F.col(query_cols[1]), cfg,
+    )
+    tiebreak = [F.asc(point_id)] if point_id else []
+    w = Window.partitionBy(query_id).orderBy(F.asc("dist2"), *tiebreak)
+    return (
+        joined.withColumn("dist2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_join_rings(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    ring_k: int,
+    res: int,
+    point_cell: str = "cell_id",
+    point_cols=("lon", "lat"),
+    query_cell: str = "q_cell_id",
+    query_cols=("q_lon", "q_lat"),
+    query_id: str = "query_id",
+    cfg: DggsConfig = WGS84_003,
+) -> DataFrame:
+    """Scale-path kNN: expand each query's cell to its k_ring at the
+    index resolution (k_ring, rhp_wrappers.py:471-507), equi-join the
+    candidate cells against the spatially-indexed points, then exact
+    chord-distance top-k within candidates.
+
+    At 100 TB the equi-join on cell_id prunes the pages table to the
+    ring neighborhoods (shuffle keyed on cell_id, AQE-skew-splittable)
+    instead of a full cross product. ring_k must be sized so each ring
+    holds >= k points; callers can re-run stragglers with a larger
+    ring (the returned 'n_cand' column exposes candidate counts).
+    """
+    cand_cells = (
+        queries.withColumn("_ring", rhp_k_ring(F.col(query_cell), ring_k, cfg))
+        .withColumn(point_cell, F.explode("_ring"))
+        .drop("_ring")
+    )
+    joined = points.join(F.broadcast(cand_cells), point_cell)
+    d2 = _chord_dist2(
+        F.col(point_cols[0]), F.col(point_cols[1]),
+        F.col(query_cols[0]), F.col(query_cols[1]), cfg,
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("dist2"))
+    wc = Window.partitionBy(query_id)
+    return (
+        joined.withColumn("dist2", d2)
+        .withColumn("n_cand", F.count(F.lit(1)).over(wc))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,242 @@
+"""Operator-level tests: joins, skew-salted agg, kNN, dedup,
+similarity, text analysis — verified against independent computations
+(pandas/numpy re-implementations or DuckDB)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rhealpixdggs_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from rhealpixdggs_spark.functions.udfs import rhp_encode
+from rhealpixdggs_spark.kernel.constants import WGS84_003
+from rhealpixdggs_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from rhealpixdggs_spark.operators.joins import (
+    cell_agg,
+    containment_join,
+    knn_join_brute,
+    knn_join_rings,
+    prefix_agg,
+    top_k_cells,
+)
+from rhealpixdggs_spark.operators.similarity import (
+    cosine_topk_brute,
+    cosine_topk_lsh,
+)
+from rhealpixdggs_spark.operators.tiling import compress_cells_df, grid
+
+
+def _points_df(spark, rng, n=2000, res=6):
+    lon = rng.uniform(-179, 179, n)
+    lat = rng.uniform(-85, 85, n)
+    df = spark.createDataFrame(
+        [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(zip(lon, lat))],
+        ["pid", "lon", "lat"],
+    )
+    return df.withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), res))
+
+
+class TestJoins:
+    def test_containment_join_matches_prefix(self, spark, rng):
+        pts = _points_df(spark, rng, 500, res=6).cache()
+        # Tiles: the distinct res-2 ancestors of half the points plus a res-1 tile.
+        tiles2 = (
+            pts.limit(250)
+            .select(F.substring("cell_id", 1, 3).alias("tile_id"))
+            .distinct()
+        )
+        tiles1 = spark.createDataFrame([("N",)], ["tile_id"])
+        tiles = tiles2.unionByName(tiles1)
+        got = containment_join(pts, tiles).select("pid", "tile_id").collect()
+        pdf = pts.toPandas()
+        tl = [r.tile_id for r in tiles.collect()]
+        exp = set()
+        for _, r in pdf.iterrows():
+            for t in tl:
+                if r.cell_id.startswith(t):
+                    exp.add((r.pid, t))
+        assert set((r.pid, r.tile_id) for r in got) == exp
+
+    def test_prefix_agg(self, spark, rng):
+        pts = _points_df(spark, rng, 400, res=5)
+        got = (
+            prefix_agg(pts, 1, [F.count(F.lit(1)).alias("n")])
+            .orderBy("tile_id")
+            .toPandas()
+        )
+        exp = (
+            pts.toPandas()
+            .assign(tile_id=lambda d: d.cell_id.str[:2])
+            .groupby("tile_id")
+            .size()
+        )
+        assert dict(zip(got.tile_id, got.n)) == exp.to_dict()
+
+    def test_cell_agg_salted_equals_plain(self, spark, rng):
+        pts = _points_df(spark, rng, 1000, res=2)
+        plain = cell_agg(pts, "cell_id", {"n": F.count(F.lit(1))}).orderBy("cell_id")
+        salted = cell_agg(pts, "cell_id", {"n": F.count(F.lit(1))}, n_salt=8).orderBy(
+            "cell_id"
+        )
+        assert plain.collect() == salted.collect()
+
+    def test_top_k_cells(self, spark, rng):
+        pts = _points_df(spark, rng, 1000, res=1)
+        got = top_k_cells(pts, k=3).toPandas()
+        exp = (
+            pts.toPandas().groupby("cell_id").size().sort_values(ascending=False)
+        )
+        assert got.n.tolist() == sorted(exp.tolist(), reverse=True)[:3]
+
+    def test_knn_brute_vs_numpy(self, spark, rng):
+        pts = _points_df(spark, rng, 800)
+        queries = spark.createDataFrame(
+            [(0, 10.0, 20.0), (1, -100.0, -40.0)], ["query_id", "q_lon", "q_lat"]
+        )
+        got = (
+            knn_join_brute(pts, queries, 5, point_id="pid")
+            .select("query_id", "pid", "rank")
+            .collect()
+        )
+        pdf = pts.toPandas()
+
+        def xyz(lon, lat):
+            a, e2 = WGS84_003.a, WGS84_003.e**2
+            lam, phi = np.radians(lon), np.radians(lat)
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            return np.stack(
+                [N * np.cos(lam) * np.cos(phi), N * np.sin(lam) * np.cos(phi),
+                 N * (1 - e2) * np.sin(phi)], axis=-1,
+            )
+
+        P = xyz(pdf.lon.to_numpy(), pdf.lat.to_numpy())
+        for qid, qlon, qlat in [(0, 10.0, 20.0), (1, -100.0, -40.0)]:
+            q = xyz(np.array([qlon]), np.array([qlat]))[0]
+            d2 = ((P - q) ** 2).sum(axis=1)
+            order = np.lexsort((pdf.pid.to_numpy(), d2))
+            exp = pdf.pid.to_numpy()[order][:5].tolist()
+            mine = [r.pid for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+            assert mine == exp, qid
+
+    def test_knn_rings_finds_true_neighbors(self, spark, rng):
+        res = 4
+        pts = _points_df(spark, rng, 3000, res=res).cache()
+        qdf = spark.createDataFrame([(0, 10.0, 20.0)], ["query_id", "q_lon", "q_lat"])
+        queries = qdf.withColumn(
+            "q_cell_id", rhp_encode(F.col("q_lon"), F.col("q_lat"), res)
+        )
+        ring = knn_join_rings(pts, queries, 3, ring_k=4, res=res)
+        brute = knn_join_brute(pts, qdf, 3, point_id="pid")
+        got = sorted(r.pid for r in ring.select("pid").collect())
+        exp = sorted(r.pid for r in brute.select("pid").collect())
+        assert got == exp
+
+    def test_grid_and_compress(self, spark):
+        g2 = grid(spark, 2)
+        assert g2.count() == 6 * 81
+        # All children of N4 plus P3 compress to N4 + P3.
+        cells = spark.createDataFrame(
+            [(f"N4{i}",) for i in range(9)] + [("P3",)], ["cell_id"]
+        )
+        got = sorted(r.cell_id for r in compress_cells_df(cells).collect())
+        assert got == ["N4", "P3"]
+
+
+class TestDedupText:
+    def _docs(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def test_exact_dup_groups(self, spark, sf_dir):
+        docs = self._docs(spark, sf_dir)
+        dup = docs.unionByName(docs.limit(5))  # force 5 duplicate texts
+        got = exact_dup_groups(dup)
+        assert got.count() >= 5
+        assert got.agg(F.min("dup_count")).collect()[0][0] >= 2
+
+    def test_ngram_jaccard_self_similarity(self, spark, sf_dir):
+        docs = self._docs(spark, sf_dir).limit(40)
+        dup = docs.unionByName(
+            docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+        pairs = ngram_jaccard_pairs(dup, threshold=0.99)
+        got = set((r.id_a, r.id_b) for r in pairs.collect())
+        for i in range(3):
+            assert any(a == i and b == i + 100000 for a, b in got)
+
+    def test_minhash_lsh_finds_exact_dups(self, spark, sf_dir):
+        docs = self._docs(spark, sf_dir).limit(60)
+        dup = docs.unionByName(
+            docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+        cand = set((r.id_a, r.id_b) for r in minhash_lsh_candidates(dup).collect())
+        for i in range(5):
+            assert (i, i + 100000) in cand
+
+    def test_simhash_near_pairs(self, spark, sf_dir):
+        docs = self._docs(spark, sf_dir).limit(60)
+        dup = docs.unionByName(
+            docs.limit(4).withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+        pairs = simhash_near_pairs(dup, max_hamming=0)
+        got = set((r.id_a, r.id_b) for r in pairs.collect())
+        for i in range(4):
+            assert (i, i + 100000) in got
+
+    def test_text_stats_vs_pandas(self, spark, sf_dir):
+        docs = self._docs(spark, sf_dir).limit(100)
+        got = docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("ntok"),
+            fingerprint(F.col("text")).alias("fp"),
+            quality_score(F.col("text")).alias("q"),
+            lang_id(F.col("text")).alias("lang_guess"),
+        ).toPandas()
+        import hashlib
+
+        pdf = docs.select("doc_id", "text").toPandas()
+        exp_ntok = pdf.text.str.strip().str.split().str.len()
+        assert got.ntok.tolist() == exp_ntok.tolist()
+        exp_fp = pdf.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        assert got.fp.tolist() == exp_fp.tolist()
+        assert got.q.between(0, 1).all()
+
+
+class TestSimilarity:
+    def test_cosine_topk_brute_vs_numpy(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = (
+            emb.limit(3)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+            )
+        )
+        got = cosine_topk_brute(emb, queries, 5).toPandas()
+        pdf = emb.toPandas()
+        M = np.stack(pdf.embedding.to_numpy())
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        for qid in got.query_id.unique():
+            q = M[pdf.vec_id.to_numpy() == qid][0]
+            cos = np.round(Mn @ (q / np.linalg.norm(q)), 6)
+            order = np.lexsort((pdf.vec_id.to_numpy(), -cos))
+            exp = pdf.vec_id.to_numpy()[order][:5].tolist()
+            mine = got[got.query_id == qid].sort_values("rank").vec_id.tolist()
+            assert mine == exp
+
+    def test_cosine_topk_lsh_rank1_is_self(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        got = cosine_topk_lsh(emb, queries, 1, dim=64, n_planes=6).toPandas()
+        # The query vector itself shares every bucket -> rank 1 == self.
+        assert (got.vec_id == got.query_id).all()
