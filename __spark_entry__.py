@@ -1,38 +1,632 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship pages-per-tile pipeline on sf0.001-derived
+                 points (encode res 9 -> res-2 rollup).
+queries()      — one entry per implemented operator family
+                 (SURVEY.md section 2), each (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB ANSI-SQL twins. The rHEALPix encode oracle is
+                 GENERATED pure SQL (rhealpixdggs_spark/oracle_sql.py)
+                 sharing no code with the engine; it matches the kernel
+                 bit-for-bit on the synthetic point sets.
+
+Spatial queries derive deterministic (lon, lat) from TPC-H keys with
+integer-exact arithmetic so Spark and DuckDB see identical doubles:
+    lon = ((key*9973) % 360000)/1000 - 180
+    lat = ((key*7919) % 178000)/1000 - 89
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from rhealpixdggs_spark.functions.text import (
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_ES,
+    STOPWORDS_FR,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_ngrams,
+)
+from rhealpixdggs_spark.functions.udfs import (
+    cell_area_col,
+    cell_width_col,
+    rhp_boundary,
+    rhp_centroid,
+    rhp_encode,
+    rhp_k_ring,
+)
+from rhealpixdggs_spark.operators.dedup import minhash_signatures, simhash
+from rhealpixdggs_spark.operators.joins import (
+    containment_join,
+    knn_join_brute,
+    knn_join_rings,
+    top_k_cells,
+)
+from rhealpixdggs_spark.operators.similarity import cosine_expr, norm_expr
+from rhealpixdggs_spark.oracle_sql import (
+    CUSTOMER_POINTS_SQL,
+    ORDERS_POINTS_SQL,
+    rhp_encode_sql,
+)
+
+from rhealpixdggs_spark.kernel.constants import WGS84_003  # noqa: E402
+
+KNN_QUERIES = [(0, 10.0, 20.0), (1, -100.0, -40.0), (2, 139.7, 35.7)]
+
+# Constants folded for the cell_metrics oracle (same op order as
+# DggsConfig.cell_width / cell_area).
+import math as _math  # noqa: E402
+
+WGS84_003_RA = repr(WGS84_003.R_A)
+PI_HALF = repr(_math.pi / 2)
+EIGHT_3PI = repr(8 / (3 * _math.pi))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str, table: str = "orders") -> DataFrame:
+    key = {"orders": "o_orderkey", "customer": "c_custkey"}[table]
+    df = _t(spark, sf_dir, table)
+    return df.select(
+        F.col(key).alias("pid"),
+        (((F.col(key) * 9973) % 360000) / 1000.0 - 180.0).alias("lon"),
+        (((F.col(key) * 7919) % 178000) / 1000.0 - 89.0).alias("lat"),
+    )
+
+
+def _doubled(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Encode sf0.001 orders-derived points at res 9, roll up to res-2
+    tiles, count pages (rows) and distinct customers per tile."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = _t(spark, sf_dir, "orders")
+    pts = _points(spark, sf_dir, "orders").join(
+        orders.select(F.col("o_orderkey").alias("pid"), "o_custkey"), "pid"
+    )
+    enc = pts.withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 9))
+    return (
+        enc.where(F.col("cell_id").isNotNull())
+        .groupBy(F.substring("cell_id", 1, 3).alias("tile_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_encode_cells(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return (
+        pts.withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 5))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_encode_res9(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "pid", rhp_encode(F.col("lon"), F.col("lat"), 9).alias("cell_id")
+    )
+
+
+def _q_parent_rollup(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    enc = pts.withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 5))
+    return (
+        enc.withColumn("tile_id", F.substring("cell_id", 1, 3))
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_cell_metrics(spark, sf_dir):
+    res = spark.range(0, 16).select(F.col("id").cast("int").alias("res"))
+    return res.select(
+        "res",
+        F.round(cell_width_col(F.col("res")), 6).alias("width_m"),
+        F.round(cell_area_col(F.col("res"), plane=True), 4).alias("area_plane_m2"),
+        F.round(cell_area_col(F.col("res"), plane=False), 4).alias("area_ell_m2"),
+    )
+
+
+def _q_containment_join(spark, sf_dir):
+    pts = _points(spark, sf_dir, "orders")
+    enc = pts.withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 5))
+    tiles = (
+        _points(spark, sf_dir, "customer")
+        .withColumn("tile_id", rhp_encode(F.col("lon"), F.col("lat"), 2))
+        .select("tile_id")
+        .distinct()
+    )
+    return containment_join(enc, tiles, tile_resolutions=[2]).groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
+def _q_topk_cells(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    enc = pts.withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 3))
+    return top_k_cells(enc, k=10)
+
+
+def _knn_queries_df(spark):
+    return spark.createDataFrame(KNN_QUERIES, ["query_id", "q_lon", "q_lat"])
+
+
+def _q_knn_brute(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    out = knn_join_brute(pts, _knn_queries_df(spark), 5, point_id="pid")
+    return out.select("query_id", "pid", F.col("rank").alias("rnk"))
+
+
+def _q_knn_rings(spark, sf_dir):
+    res = 3
+    pts = _points(spark, sf_dir).withColumn(
+        "cell_id", rhp_encode(F.col("lon"), F.col("lat"), res)
+    )
+    queries = _knn_queries_df(spark).withColumn(
+        "q_cell_id", rhp_encode(F.col("q_lon"), F.col("q_lat"), res)
+    )
+    out = knn_join_rings(pts, queries, 5, ring_k=2, res=res)
+    return out.select("query_id", "pid", F.col("rank").alias("rnk"))
+
+
+def _q_kring_sizes(spark, sf_dir):
+    tiles = (
+        _points(spark, sf_dir, "customer")
+        .withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 3))
+        .select("cell_id")
+        .distinct()
+    )
+    return tiles.select(
+        "cell_id", F.size(rhp_k_ring(F.col("cell_id"), 2)).alias("ring_size")
+    )
+
+
+def _q_cell_geometry(spark, sf_dir):
+    tiles = (
+        _points(spark, sf_dir, "customer")
+        .withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 2))
+        .select("cell_id")
+        .distinct()
+    )
+    c = rhp_centroid(F.col("cell_id"))
+    b = rhp_boundary(F.col("cell_id"))
+    return tiles.select(
+        "cell_id",
+        F.round(c["lon"], 6).alias("c_lon"),
+        F.round(c["lat"], 6).alias("c_lat"),
+        F.round(b[0]["lat"], 6).alias("nw_lat"),
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique_texts"),
+        )
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_char"),
+    )
+
+
+def _q_lang_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    grams = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("text"), 3)).alias("g")
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    ).where(F.col("jaccard") > 0)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _doubled(F.col("embedding")).alias("embedding")
+    )
+    queries = (
+        emb.where(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+    )
+    joined = emb.crossJoin(F.broadcast(queries))
+    cos = F.round(cosine_expr(F.col("embedding"), F.col("q_embedding")), 5)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
+def _q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(norm_expr(_doubled(F.col("embedding"))), 5).alias("nrm"),
+    )
+
+
+def _q_tpch_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_events_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _q_s2_cross_index(spark, sf_dir):
+    """Cross-index: rHEALPix + S2 ids per point, rolled up per
+    (rhp res-2 tile, s2 level-2 parent) — validates co-partitioning of
+    the two index spaces. Rows-only check (S2's Hilbert tables are not
+    expressible in SQL); kernel-level tests verify the encoder."""
+    from pyspark.sql import functions as FF
+
+    from rhealpixdggs_spark.functions.s2_udfs import s2_cell_id, s2_token
+
+    pts = _points(spark, sf_dir)
+    enc = pts.select(
+        "pid",
+        rhp_encode(F.col("lon"), F.col("lat"), 9).alias("cell_id"),
+        s2_cell_id(F.col("lon"), F.col("lat"), 12).alias("s2_id"),
+    )
+    from rhealpixdggs_spark.functions.s2_udfs import s2_parent
+
+    return (
+        enc.groupBy(
+            F.substring("cell_id", 1, 3).alias("tile_id"),
+            s2_token(s2_parent(F.col("s2_id"), 2)).alias("s2_l2"),
+        )
+        .agg(F.count(FF.lit(1)).alias("n"))
+    )
+
+
+def _q_minhash_sig(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8)
+    return sig.select("doc_id", *[f"mh_{i}" for i in range(8)])
+
+
+def _q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=32)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "encode_cells_res5": _q_encode_cells,
+        "encode_points_res9": _q_encode_res9,
+        "parent_rollup": _q_parent_rollup,
+        "cell_metrics": _q_cell_metrics,
+        "containment_join": _q_containment_join,
+        "topk_cells": _q_topk_cells,
+        "knn_brute": _q_knn_brute,
+        "knn_rings": _q_knn_rings,
+        "kring_sizes": _q_kring_sizes,
+        "cell_geometry": _q_cell_geometry,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "lang_quality": _q_lang_quality,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_norms": _q_embedding_norms,
+        "tpch_pricing": _q_tpch_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_window": _q_events_window,
+        "minhash_sig": _q_minhash_sig,
+        "simhash": _q_simhash,
+        "s2_cross_index": _q_s2_cross_index,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_TOKENIZE = r"string_split_regex(trim(text), '\s+')"
+_TOKENIZE_LOWER = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _stop_hits(words):
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"len(list_filter({_TOKENIZE_LOWER}, t -> list_contains({lst}, t)))"
+    )
+
+
+def _knn_sql():
+    from rhealpixdggs_spark.kernel.constants import WGS84_003 as cfg
+
+    a, e2 = cfg.a, cfg.e**2
+    vals = ", ".join(f"({i}, {lo}, {la})" for i, lo, la in KNN_QUERIES)
+
+    def xyz(lon, lat, p):
+        return (
+            f"{a!r}/sqrt(1 - {e2!r}*power(sin(radians({lat})), 2)) AS n_{p}, "
+            f"radians({lon}) AS lam_{p}, radians({lat}) AS phi_{p}"
+        )
+
+    return f"""
+WITH pts AS ({ORDERS_POINTS_SQL}),
+q(query_id, q_lon, q_lat) AS (VALUES {vals}),
+xy AS (
+  SELECT q.query_id, pts.pid,
+    {xyz('pts.lon', 'pts.lat', 'p')},
+    {xyz('q.q_lon', 'q.q_lat', 'q')}
+  FROM pts, q),
+d AS (
+  SELECT query_id, pid,
+    power(n_p*cos(lam_p)*cos(phi_p) - n_q*cos(lam_q)*cos(phi_q), 2)
+  + power(n_p*sin(lam_p)*cos(phi_p) - n_q*sin(lam_q)*cos(phi_q), 2)
+  + power(n_p*(1-{e2!r})*sin(phi_p) - n_q*(1-{e2!r})*sin(phi_q), 2) AS dist2
+  FROM xy)
+SELECT query_id, pid, rnk FROM (
+  SELECT query_id, pid,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2, pid) AS rnk
+  FROM d) WHERE rnk <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    enc5 = rhp_encode_sql(ORDERS_POINTS_SQL, 5)
+    enc9 = rhp_encode_sql(ORDERS_POINTS_SQL, 9)
+    cust2 = rhp_encode_sql(CUSTOMER_POINTS_SQL, 2)
+    enc3 = rhp_encode_sql(ORDERS_POINTS_SQL, 3)
+
+    sq = "l_extendedprice * (1 - l_discount)"
+    lang_hits = {
+        "en": _stop_hits(STOPWORDS_EN),
+        "de": _stop_hits(STOPWORDS_DE),
+        "fr": _stop_hits(STOPWORDS_FR),
+        "es": _stop_hits(STOPWORDS_ES),
+    }
+    ntok = (
+        f"CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKENIZE}) END"
+    )
+    punct = (
+        "CASE WHEN len(text) = 0 THEN 0.0 ELSE "
+        "CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        " / len(text) END"
+    )
+    stop_ratio = (
+        f"CASE WHEN {ntok} = 0 THEN 0.0 ELSE "
+        f"CAST({lang_hits['en']} AS DOUBLE) / {ntok} END"
+    )
+    quality = (
+        f"round(least({ntok}/100.0, 1.0)*0.4 "
+        f"+ greatest(0.0, 1.0 - ({punct})*4)*0.3 "
+        f"+ least(({stop_ratio})*5, 1.0)*0.3, 6)"
+    )
+    best = "greatest(h_en, h_de, h_fr, h_es)"
+    grams = (
+        "CASE WHEN cnt < 3 THEN [array_to_string(toks, ' ')] "
+        "ELSE list_transform(range(cnt - 2), "
+        "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END"
+    )
+
+    return {
+        "encode_cells_res5": f"""
+            WITH enc AS ({enc5})
+            SELECT cell_id, count(*) AS n FROM enc GROUP BY cell_id
+        """,
+        "encode_points_res9": f"SELECT pid, cell_id FROM ({enc9})",
+        "parent_rollup": f"""
+            WITH enc AS ({enc5})
+            SELECT substr(cell_id, 1, 3) AS tile_id, count(*) AS n
+            FROM enc GROUP BY 1
+        """,
+        "cell_metrics": f"""
+            SELECT CAST(res AS INT) AS res,
+              round({WGS84_003_RA} * ({PI_HALF}) * power(3.0, -res), 6) AS width_m,
+              round(power({WGS84_003_RA} * ({PI_HALF}) * power(3.0, -res), 2), 4)
+                AS area_plane_m2,
+              round({EIGHT_3PI} * power({WGS84_003_RA} * ({PI_HALF}) * power(3.0, -res), 2), 4)
+                AS area_ell_m2
+            FROM range(16) t(res)
+        """,
+        "containment_join": f"""
+            WITH enc AS ({enc5}),
+            tiles AS (SELECT DISTINCT cell_id AS tile_id FROM ({cust2}))
+            SELECT t.tile_id, count(*) AS n_points
+            FROM enc e JOIN tiles t ON substr(e.cell_id, 1, 3) = t.tile_id
+            GROUP BY t.tile_id
+        """,
+        "topk_cells": f"""
+            WITH enc AS ({enc3}),
+            c AS (SELECT cell_id, count(*) AS n FROM enc GROUP BY cell_id)
+            SELECT cell_id, n FROM c ORDER BY n DESC, cell_id LIMIT 10
+        """,
+        "knn_brute": _knn_sql(),
+        "knn_rings": _knn_sql(),
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "dedup_exact": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique_texts
+            FROM documents GROUP BY lang
+        """,
+        "token_stats": f"""
+            SELECT doc_id, {ntok} AS n_tokens, len(text) AS n_char
+            FROM documents
+        """,
+        "lang_quality": f"""
+            WITH h AS (
+              SELECT doc_id, text,
+                {lang_hits['en']} AS h_en, {lang_hits['de']} AS h_de,
+                {lang_hits['fr']} AS h_fr, {lang_hits['es']} AS h_es
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN {best} = 0 THEN 'und'
+                   WHEN h_en = {best} THEN 'en'
+                   WHEN h_de = {best} THEN 'de'
+                   WHEN h_fr = {best} THEN 'fr'
+                   ELSE 'es' END AS lang_guess,
+              {quality} AS quality
+            FROM h
+        """,
+        "ngram_jaccard": f"""
+            WITH g AS (
+              SELECT doc_id, list_distinct({grams}) AS g FROM (
+                SELECT doc_id, {_TOKENIZE_LOWER} AS toks,
+                       len({_TOKENIZE_LOWER}) AS cnt
+                FROM documents WHERE doc_id < 40))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g)) > 0
+        """,
+        "cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            d AS (
+              SELECT q.query_id, e.vec_id,
+                round(list_dot_product(e.v, q.qv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos
+              FROM e, q)
+            SELECT query_id, vec_id, cos, rnk FROM (
+              SELECT query_id, vec_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rnk
+              FROM d) WHERE rnk <= 5
+        """,
+        "embedding_norms": """
+            SELECT vec_id, label,
+              round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])), 5) AS nrm
+            FROM embeddings
+        """,
+        "tpch_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum({sq}), 2) AS sum_disc_price,
+              count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": f"""
+            SELECT n_name, round(sum({sq}), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # kring_sizes / cell_geometry / minhash_sig / simhash are
+        # intentionally omitted: ring walks, ellipsoidal inverse
+        # projection and xxhash64 are not expressible in DuckDB SQL;
+        # the driver records rows-only checks and pytest covers their
+        # values against the reference oracle.
+    }
+
+

@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the driver runs): execute the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "pages_per_sec": ...,
+   "scaling": {...present if BENCH/scaling.json exists...}}
+
+Scaling mode (--scaling): run the encode+join pages job at two
+parallelism levels (local[8] vs local[32]) in separate processes on the
+SAME input and record throughput + efficiency to BENCH/scaling.json —
+the sandbox protocol for BASELINE.json's two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _spark(master: str):
+    from rhealpixdggs_spark.session import get_spark
+
+    return get_spark(app_name="bench", master=master)
+
+
+def _pages_count(sf_dir: str) -> int:
+    # Scale the synthetic pages table with the SF (lineitem-sized).
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+
+
+def _pages_parquet(spark, sf_dir: str, n: int | None = None) -> tuple[str, int]:
+    """Materialize the synthetic pages table once per size so the timed
+    job reads a real columnar table (the north-star input shape), not
+    an in-flight generator. Written as 64 files so any local[N] has
+    enough input splits."""
+    from rhealpixdggs_spark.sources.pages import synthesize_pages
+
+    if n is None:
+        n = _pages_count(sf_dir)
+    path = f"/tmp/rhp_bench_pages_{n}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synthesize_pages(spark, n, partitions=128).write.mode("overwrite").parquet(path)
+    return path, n
+
+
+def bench_encode_join(spark, sf_dir: str, n: int | None = None) -> tuple[float, int]:
+    """The headline metric: pages scan -> geotag extract -> res-9
+    encode -> res-2 rollup join -> aggregate. Returns (seconds, n)."""
+    from rhealpixdggs_spark.pipeline import full_grid_rollup
+
+    path, n = _pages_parquet(spark, sf_dir, n)
+    pages = spark.read.parquet(path)
+    t0 = time.time()
+    out = full_grid_rollup(spark, pages, resolution=9, tile_res=2)
+    out.write.format("noop").mode("overwrite").save()
+    return time.time() - t0, n
+
+
+def _warm_up(spark):
+    """Start the Python workers (imports numpy/pandas/the kernel) so
+    timings measure steady-state throughput, matching a long-running
+    cluster where workers are reused."""
+    from pyspark.sql import functions as F
+
+    from rhealpixdggs_spark.functions.udfs import rhp_encode
+
+    spark.range(1000).select(
+        rhp_encode(F.lit(10.0), F.lit(20.0), 9).alias("c")
+    ).write.format("noop").mode("overwrite").save()
+
+
+def run_headline(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    _warm_up(spark)
+    timings: dict[str, float] = {}
+    sec, n_pages = bench_encode_join(spark, sf_dir)
+    timings["encode_join_pages"] = sec
+    pages_per_sec = n_pages / sec
+
+    qs = entrymod.queries()
+    for name in [
+        "encode_points_res9",
+        "parent_rollup",
+        "containment_join",
+        "knn_rings",
+        "minhash_sig",
+        "cosine_topk",
+        "tpch_pricing",
+        "revenue_by_nation",
+    ]:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = time.time() - t0
+    return {
+        "timings": {k: round(v, 3) for k, v in timings.items()},
+        "n_pages": n_pages,
+        "pages_per_sec": round(pages_per_sec, 1),
+    }
+
+
+def single_run(master: str, sf_dir: str, n_pages: int | None = None) -> dict:
+    # Fixed shuffle partitioning at both cluster sizes: the scaling
+    # comparison must be a cores-only delta, not a partitioning delta.
+    from rhealpixdggs_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=master, shuffle_partitions=64)
+    try:
+        _warm_up(spark)
+        # Steady state: first pass pays JVM JIT + page-cache warm; the
+        # reported number is the best of three subsequent runs (what a
+        # long-running cluster job sees).
+        _, n = bench_encode_join(spark, sf_dir, n_pages)
+        sec = min(bench_encode_join(spark, sf_dir, n_pages)[0] for _ in range(3))
+        return {"master": master, "seconds": round(sec, 3), "n_pages": n,
+                "pages_per_sec": round(n / sec, 1)}
+    finally:
+        spark.stop()
+
+
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "16000000"))
+
+
+def scaling_protocol(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    """Two-parallelism scaling evidence: identical job + input (a
+    16M-row pages table, large enough to be compute-bound), cores-only
+    delta, separate JVMs, fixed shuffle partitioning.
+    efficiency = (rate_high/rate_low)/(high/low)."""
+    results = {}
+    for n in (low, high):
+        out = subprocess.run(
+            [sys.executable, __file__, "--single-run", f"--master=local[{n}]",
+             f"--sf-dir={sf_dir}", f"--pages={SCALING_PAGES}"],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    eff = (results[high]["pages_per_sec"] / results[low]["pages_per_sec"]) / (high / low)
+    return {
+        "low": results[low],
+        "high": results[high],
+        "cores_ratio": high / low,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--master", default=f"local[{CPUS}]")
+    ap.add_argument("--single-run", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pages", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.single_run:
+        print(json.dumps(single_run(args.master, args.sf_dir, args.pages)))
+        return
+    if args.scaling:
+        res = scaling_protocol(args.sf_dir)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps(res))
+        return
+
+    spark = _spark(args.master)
+    try:
+        res = run_headline(spark, args.sf_dir)
+    finally:
+        spark.stop()
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline suite wall time (encode+join pages pipeline "
+                  "res9->res2 + spatial/dedup/similarity/relational queries)",
+        "value": round(sum(res["timings"].values()), 3),
+        "unit": "sec",
+        "queries": res["timings"],
+        "sf": float(sf),
+        "n_pages": res["n_pages"],
+        "pages_per_sec": res["pages_per_sec"],
+    }
+    scaling_path = os.path.join(REPO, "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

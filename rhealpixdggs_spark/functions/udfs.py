@@ -84,7 +84,13 @@ def rhp_encode(
         )
         return pd.Series(out, index=lo.index, dtype=object)
 
-    return _enc(lon, lat)
+    # Nondeterministic marker: the function IS deterministic, but the
+    # marker stops Catalyst from duplicating the UDF into inferred
+    # filters (e.g. join-key isnotnull pushed below an aggregate),
+    # which would run the kernel 2x per row. Engine pipelines always
+    # place filters below the encode projection, so no pushdown is
+    # lost.
+    return _enc.asNondeterministic()(lon, lat)
 
 
 def _decode_udf(cfg: DggsConfig, fn, ret_type):
@@ -98,7 +104,7 @@ def _decode_udf(cfg: DggsConfig, fn, ret_type):
             out[idx] = fn(face, digits)
         return out
 
-    return _dec
+    return _dec.asNondeterministic()
 
 
 _POINT_TYPE = T.StructType(
@@ -122,7 +128,7 @@ def _point_udf(cfg: DggsConfig, kernel_fn):
             lat[idx] = np.asarray(la)
         return pd.DataFrame({"lon": lon, "lat": lat})
 
-    return _dec
+    return _dec.asNondeterministic()
 
 
 def rhp_centroid(cell_id: Column, cfg: DggsConfig = WGS84_003, plane: bool = False) -> Column:
@@ -185,7 +191,7 @@ def rhp_k_ring(cell_id: Column, k: int, cfg: DggsConfig = WGS84_003) -> Column:
             dtype=object,
         )
 
-    return _kr(cell_id)
+    return _kr.asNondeterministic()(cell_id)
 
 
 def rhp_level_order_index(cell_id: Column, cfg: DggsConfig = WGS84_003) -> Column:

@@ -1,0 +1,181 @@
+"""Multi-resolution cell zones from polygons (reference conversion.py).
+
+get_finest_containing_cell (conversion.py:7-36) and CellZoneFromPoly
+(conversion.py:40-111) re-derived without shapely: polygon-polygon
+predicates are implemented with vectorized even-odd containment and
+orientation-sign proper-crossing tests over the coordinate rings.
+
+Geometry is (exterior_ring, holes) pairs in lon/lat degrees, the same
+shape polyfill takes. Cell polygons are the 4-vertex ellipsoidal
+rings the reference builds with Polygon(cell.vertices(plane=False)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cells import nucleus, parse_suids, vertices
+from .constants import CELLS0, DggsConfig
+from .regions import points_in_polygon, subcells
+
+
+def _edges(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ring = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    return ring, np.roll(ring, -1, axis=0)
+
+
+def _proper_crossings(ring_a, ring_b) -> bool:
+    """Any pair of edges (one from each ring) crossing properly
+    (interiors intersect transversally)."""
+    a0, a1 = _edges(ring_a)
+    b0, b1 = _edges(ring_b)
+
+    # Orientation of point c relative to segment (a0, a1), vectorized
+    # over all (edge_a, edge_b) pairs.
+    def orient(p0, p1, q):
+        return np.sign(
+            (p1[:, None, 0] - p0[:, None, 0]) * (q[None, :, 1] - p0[:, None, 1])
+            - (p1[:, None, 1] - p0[:, None, 1]) * (q[None, :, 0] - p0[:, None, 0])
+        )
+
+    o1 = orient(a0, a1, b0)
+    o2 = orient(a0, a1, b1)
+    o3 = orient(b0, b1, a0).T
+    o4 = orient(b0, b1, a1).T
+    return bool(np.any((o1 * o2 < 0) & (o3 * o4 < 0)))
+
+
+class _Geometry:
+    """A (multi)polygon with precomputed edge arrays."""
+
+    def __init__(self, polygons):
+        # polygons: list of (exterior, holes)
+        self.polys = [
+            (np.asarray(ext, dtype=np.float64), [np.asarray(h, np.float64) for h in holes])
+            for ext, holes in polygons
+        ]
+
+    def contains_points(self, px, py) -> np.ndarray:
+        out = np.zeros(np.shape(px), dtype=bool)
+        for ext, holes in self.polys:
+            out |= points_in_polygon(px, py, ext, holes)
+        return out
+
+    def rings(self):
+        for ext, holes in self.polys:
+            yield ext
+            yield from holes
+
+    def contains_ring(self, ring) -> bool:
+        """shapely-style A.contains(B) for B a simple 4-ish-gon: all of
+        B inside A's interior closure, no proper boundary crossings."""
+        ring = np.asarray(ring, dtype=np.float64)
+        if not self.contains_points(ring[:, 0], ring[:, 1]).all():
+            return False
+        return not any(_proper_crossings(r, ring) for r in self.rings())
+
+    def overlaps_ring(self, ring) -> bool:
+        """shapely-style A.overlaps(B): interiors partially intersect.
+        In the zone recursion B never contains A's full geometry at the
+        call sites (children of the finest containing cell), so partial
+        intersection reduces to: a proper crossing, or a B vertex
+        strictly inside A while another is outside, or an A vertex
+        strictly inside B."""
+        ring = np.asarray(ring, dtype=np.float64)
+        inside = self.contains_points(ring[:, 0], ring[:, 1])
+        if inside.any() and not inside.all():
+            return True
+        if any(_proper_crossings(r, ring) for r in self.rings()):
+            return True
+        if not inside.any():
+            for ext, holes in self.polys:
+                if points_in_polygon(ext[:, 0], ext[:, 1], ring).any():
+                    # Geometry vertex pokes into the cell.
+                    if not points_in_polygon(ext[:, 0], ext[:, 1], ring).all():
+                        return True
+                    # Whole geometry inside the cell: interiors
+                    # intersect but B contains A -> shapely overlaps
+                    # is False (and contains handled it upstream).
+            return False
+        # All ring vertices inside with no crossing -> A contains B.
+        return False
+
+
+def _cell_ring_ellipsoidal(cfg: DggsConfig, suid: str) -> np.ndarray:
+    f, d = parse_suids(np.array([suid]))
+    return np.asarray(vertices(cfg, f, d, plane=False)[0])
+
+
+def get_finest_containing_cell(cfg: DggsConfig, polygons) -> str | None:
+    """Finest single cell wholly containing the geometry
+    (conversion.py:7-36): recursive descent picking the first child
+    whose polygon contains the geometry."""
+    geom = _Geometry(polygons)
+
+    def geom_inside_cell(suid: str) -> bool:
+        cell_ring = _cell_ring_ellipsoidal(cfg, suid)
+        for ext, holes in geom.polys:
+            if not points_in_polygon(ext[:, 0], ext[:, 1], cell_ring).all():
+                return False
+            if _proper_crossings(cell_ring, ext):
+                return False
+        return True
+
+    def descend(suid: str) -> str | None:
+        for child in subcells(cfg, suid):
+            if child != suid and geom_inside_cell(child):
+                return descend(child)
+        return suid if geom_inside_cell(suid) else None
+
+    for face in CELLS0:
+        found = descend(face)
+        if found is not None:
+            return found
+    return None
+
+
+def zone_from_poly(
+    cfg: DggsConfig,
+    polygons,
+    res_limit: int,
+    bounding_cell: str | None = None,
+) -> list[str]:
+    """Compact multi-resolution zone covering the geometry
+    (CellZoneFromPoly, conversion.py:40-111): recursive subdivision
+    keeping fully-contained children, nucleus test at res_limit."""
+    geom = _Geometry(polygons)
+    if bounding_cell is None:
+        bounding_cell = get_finest_containing_cell(cfg, polygons)
+        if bounding_cell is None:
+            return []
+    out: list[str] = []
+
+    def nucleus_inside(suid: str) -> bool:
+        f, d = parse_suids(np.array([suid]))
+        lo, la = nucleus(cfg, f, d, plane=False)
+        return bool(geom.contains_points(np.array(lo), np.array(la))[0])
+
+    def get_dggs_poly(cell: str):
+        ring = _cell_ring_ellipsoidal(cfg, cell)
+        if geom.contains_ring(ring):
+            out.append(cell)
+            return
+        if len(cell) - 1 + 1 > res_limit:
+            return
+        for child in subcells(cfg, cell):
+            if child == cell:
+                continue
+            cring = _cell_ring_ellipsoidal(cfg, child)
+            if geom.contains_ring(cring):
+                out.append(child)
+            elif len(child) - 1 == res_limit:
+                if nucleus_inside(child):
+                    out.append(child)
+            else:
+                if geom.overlaps_ring(cring):
+                    get_dggs_poly(child)
+
+    get_dggs_poly(bounding_cell)
+    return out

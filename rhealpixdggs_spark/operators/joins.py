@@ -31,6 +31,7 @@ def containment_join(
     tile_cell: str = "tile_id",
     how: str = "inner",
     broadcast_tiles: bool = True,
+    tile_resolutions: list[int] | None = None,
 ) -> DataFrame:
     """Join points to the tiles that contain them in the cell hierarchy.
 
@@ -39,8 +40,10 @@ def containment_join(
     per resolution, each on the materialized prefix column — Catalyst
     sees plain equi-joins (broadcastable / sort-merge-able) instead of
     an un-plannable startswith() theta join.
+
+    Pass tile_resolutions when known to skip the discovery job.
     """
-    res_rows = [
+    res_rows = tile_resolutions if tile_resolutions is not None else [
         r[0]
         for r in tiles.select((F.length(tile_cell) - 1).alias("r")).distinct().collect()
     ]

@@ -27,7 +27,13 @@ def encode_pages(
     extraction projection and dropped before the shuffle; `text`
     passes through byte-identical."""
     tagged = extract_geotags(pages)
-    return tagged.withColumn(
+    # Null-filter BEFORE the UDF: filtering on the UDF output would
+    # make Catalyst instantiate a second ArrowEvalPython for the
+    # filter and re-run the encode per consumer. Filter on lon only —
+    # lat and lon are extracted from the same meta tag, so they are
+    # null together — keeping the inlined extraction to one evaluation
+    # in the filter; a lat-only null would just encode to null.
+    return tagged.where(F.col("lon").isNotNull()).withColumn(
         "cell_id", rhp_encode(F.col("lon"), F.col("lat"), resolution, cfg)
     )
 
@@ -44,7 +50,9 @@ def pages_per_tile(
     Hierarchy containment is the substring rollup (no join needed when
     tiles are the full grid); with n_salt > 0 the count aggregation is
     two-phase salted for hot urban cells."""
-    enc = encode_pages(pages, resolution, cfg).where(F.col("cell_id").isNotNull())
+    # encode_pages already filtered null geotags; geodetic encode is
+    # total, so no UDF-output filter (it would re-instantiate the UDF).
+    enc = encode_pages(pages, resolution, cfg)
     keyed = enc.withColumn("tile_id", F.substring("cell_id", 1, tile_res + 1))
     if n_salt > 0:
         counts = cell_agg(
@@ -68,7 +76,7 @@ def pages_tile_join(
 ) -> DataFrame:
     """Containment join of encoded pages against an explicit
     (possibly mixed-resolution) tile table; coarse tiles broadcast."""
-    enc = encode_pages(pages, resolution, cfg).where(F.col("cell_id").isNotNull())
+    enc = encode_pages(pages, resolution, cfg)
     return containment_join(enc, tiles)
 
 

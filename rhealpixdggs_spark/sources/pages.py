@@ -161,16 +161,26 @@ def extract_geotags(pages: DataFrame) -> DataFrame:
     through untouched — byte-identical per url (the pipeline
     invariant). Rows without a geotag get null lon/lat (kept for the
     left-anti path)."""
+    # Each output column is a single expression chain evaluated once:
+    # Catalyst inlines these into downstream UDF argument projections
+    # (no cross-argument CSE there), so a CASE-style null guard would
+    # double-evaluate the decode+regexp per column. nullif keeps it to
+    # one evaluation per column.
     html_str = F.decode(F.col("html"), "utf-8")
     geo = F.regexp_extract(html_str, r'geo\.position" content="([^"]*)"', 1)
-    lat_s = F.regexp_extract(geo, r"^(-?[0-9.,]+);", 1)
-    lon_s = F.regexp_extract(geo, r";(-?[0-9.,]+)$", 1)
-    clean = lambda c: F.regexp_replace(c, ",", "").cast("double")  # noqa: E731
+    lat_s = F.nullif(
+        F.regexp_replace(F.regexp_extract(geo, r"^(-?[0-9.,]+);", 1), ",", ""),
+        F.lit(""),
+    )
+    lon_s = F.nullif(
+        F.regexp_replace(F.regexp_extract(geo, r";(-?[0-9.,]+)$", 1), ",", ""),
+        F.lit(""),
+    )
     return pages.select(
         "url",
         "warc_ts",
         "text",
         "lang",
-        F.when(lat_s != "", clean(lat_s)).alias("lat"),
-        F.when(lon_s != "", clean(lon_s)).alias("lon"),
+        lat_s.cast("double").alias("lat"),
+        lon_s.cast("double").alias("lon"),
     )

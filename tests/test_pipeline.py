@@ -111,12 +111,14 @@ class TestSnapshots:
     def test_snapshot_write_read(self, spark, pages, tmp_path):
         t = SnapshotTable(str(tmp_path / "tbl"))
         enc = encode_pages(pages.limit(200), 5)
+        n = enc.count()  # null-geotag rows are filtered pre-encode
+        assert 0 < n <= 200
         snap1 = t.write(enc)
         assert t.current_snapshot() == snap1
         back = t.read(spark)
-        assert back.count() == 200
+        assert back.count() == n
         m = t.manifest()
-        assert m["row_count"] == 200 and m["files"]
+        assert m["row_count"] == n and m["files"]
 
     def test_partitioned_resume_skips_completed(self, spark, pages, tmp_path):
         t = SnapshotTable(str(tmp_path / "ptbl"))
@@ -136,11 +138,12 @@ class TestSnapshots:
 
     def test_lineage_and_observe(self, spark, pages):
         enc = encode_pages(pages.limit(300), 4).repartition(4)
+        n = enc.count()  # null-geotag rows filtered pre-encode
         lm = lineage_metrics(enc).collect()
-        assert sum(r.rows for r in lm) == 300
+        assert sum(r.rows for r in lm) == n
         df, obs = observed(enc, "stage1", F.count(F.lit(1)).alias("rows"))
         df.write.format("noop").mode("overwrite").save()
-        assert obs.get["rows"] == 300
+        assert obs.get["rows"] == n
 
 
 class TestStreaming:
