@@ -357,6 +357,44 @@ def _q_events_window(spark, sf_dir):
     )
 
 
+def _q_grid_res3(spark, sf_dir):
+    """Distributed grid generation: all 4374 res-3 cells via
+    spark.range + the level-order codec (SURVEY.md section 2.4)."""
+    from rhealpixdggs_spark.operators.tiling import grid
+
+    return grid(spark, 3)
+
+
+def _q_interval(spark, sf_dir):
+    """Post-order interval scan as WHERE BETWEEN on the packed
+    level-order key (dggs.py:710-735 analogue)."""
+    from rhealpixdggs_spark.kernel.cells import interval_indices
+    from rhealpixdggs_spark.operators.tiling import grid
+
+    lo, hi, res = interval_indices(WGS84_003, "P012", "Q45")
+    g = grid(spark, res)
+    return g.where(F.col("cell_idx").between(lo, hi))
+
+
+def _grid_codec_sql(res: int, lo: str, hi: str) -> str:
+    """DuckDB twin of the level-order index -> suid codec."""
+    b = 9**res
+    base = WGS84_003.num_cells(0, res - 1) if res > 0 else 0
+    digits = " || ".join(
+        f"CAST((v // {9 ** (res - 1 - i)}) % 9 AS VARCHAR)" for i in range(res)
+    )
+    face = (
+        "CASE (v // {b}) WHEN 0 THEN 'N' WHEN 1 THEN 'O' WHEN 2 THEN 'P' "
+        "WHEN 3 THEN 'Q' WHEN 4 THEN 'R' ELSE 'S' END"
+    ).format(b=b)
+    expr = f"{face} || {digits}" if res > 0 else face
+    return f"""
+        SELECT {expr} AS cell_id, v + {base} AS cell_idx
+        FROM (SELECT idx - {base} AS v
+              FROM range({lo}, {hi}) t(idx))
+    """
+
+
 def _q_s2_cross_index(spark, sf_dir):
     """Cross-index: rHEALPix + S2 ids per point, rolled up per
     (rhp res-2 tile, s2 level-2 parent) — validates co-partitioning of
@@ -419,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": _q_minhash_sig,
         "simhash": _q_simhash,
         "s2_cross_index": _q_s2_cross_index,
+        "grid_res3": _q_grid_res3,
+        "interval_scan": _q_interval,
     }
 
 
@@ -622,11 +662,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        # kring_sizes / cell_geometry / minhash_sig / simhash are
-        # intentionally omitted: ring walks, ellipsoidal inverse
-        # projection and xxhash64 are not expressible in DuckDB SQL;
-        # the driver records rows-only checks and pytest covers their
-        # values against the reference oracle.
+        "grid_res3": _grid_codec_sql(
+            3,
+            str(WGS84_003.num_cells(0, 2)),
+            str(WGS84_003.num_cells(0, 2) + 6 * 9**3),
+        ),
+        "interval_scan": _interval_oracle_sql(),
+        # kring_sizes / cell_geometry / minhash_sig / simhash /
+        # s2_cross_index are intentionally omitted: ring walks,
+        # ellipsoidal inverse projection, xxhash64 and the S2 Hilbert
+        # tables are not expressible in DuckDB SQL; the driver records
+        # rows-only checks and pytest covers their values against the
+        # reference oracle.
     }
+
+
+def _interval_oracle_sql() -> str:
+    from rhealpixdggs_spark.kernel.cells import interval_indices
+
+    lo, hi, res = interval_indices(WGS84_003, "P012", "Q45")
+    return _grid_codec_sql(res, str(lo), str(hi + 1))
 
 

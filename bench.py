@@ -114,7 +114,8 @@ def run_headline(spark, sf_dir: str) -> dict:
     }
 
 
-def single_run(master: str, sf_dir: str, n_pages: int | None = None) -> dict:
+def single_run(master: str, sf_dir: str, n_pages: int | None = None,
+               n_points: int | None = None) -> dict:
     # Fixed shuffle partitioning at both cluster sizes: the scaling
     # comparison must be a cores-only delta, not a partitioning delta.
     from rhealpixdggs_spark.session import get_spark
@@ -125,37 +126,95 @@ def single_run(master: str, sf_dir: str, n_pages: int | None = None) -> dict:
         # Steady state: first pass pays JVM JIT + page-cache warm; the
         # reported number is the best of three subsequent runs (what a
         # long-running cluster job sees).
+        out = {"master": master}
         _, n = bench_encode_join(spark, sf_dir, n_pages)
         sec = min(bench_encode_join(spark, sf_dir, n_pages)[0] for _ in range(3))
-        return {"master": master, "seconds": round(sec, 3), "n_pages": n,
-                "pages_per_sec": round(n / sec, 1)}
+        out["pages"] = {"master": master, "seconds": round(sec, 3), "rows": n,
+                        "rows_per_sec": round(n / sec, 1)}
+        if n_points:
+            bench_points_encode_join(spark, n_points)
+            sec = min(bench_points_encode_join(spark, n_points)[0] for _ in range(3))
+            out["points"] = {"master": master, "seconds": round(sec, 3),
+                             "rows": n_points,
+                             "rows_per_sec": round(n_points / sec, 1)}
+        return out
     finally:
         spark.stop()
 
 
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "16000000"))
+SCALING_POINTS = int(os.environ.get("SPARK_GRAFT_SCALING_POINTS", "150000000"))
+
+
+def _points_parquet(spark, n: int) -> str:
+    """Materialize the extracted-points table (pid, lon, lat, lang) for
+    the engine-stage scaling job; 512 files so task tails stay short."""
+    from rhealpixdggs_spark.sources.pages import synthesize_points
+
+    path = f"/tmp/rhp_bench_points_{n}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synthesize_points(spark, n, partitions=512).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_points_encode_join(spark, n: int) -> tuple[float, int]:
+    """Engine-stage scaling job: points scan -> res-9 encode -> res-2
+    rollup -> broadcast grid join. No html decode: the UTF-16 decode
+    of the raw scan is single-box memory-bandwidth-bound, which a real
+    cluster scales with nodes, so the two-size comparison isolates the
+    engine's own stages."""
+    from rhealpixdggs_spark.pipeline import points_grid_rollup
+
+    path = _points_parquet(spark, n)
+    pts = spark.read.parquet(path)
+    t0 = time.time()
+    points_grid_rollup(spark, pts, resolution=9, tile_res=2).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return time.time() - t0, n
 
 
 def scaling_protocol(sf_dir: str, low: int = 8, high: int = 32) -> dict:
-    """Two-parallelism scaling evidence: identical job + input (a
-    16M-row pages table, large enough to be compute-bound), cores-only
-    delta, separate JVMs, fixed shuffle partitioning.
-    efficiency = (rate_high/rate_low)/(high/low)."""
-    results = {}
+    """Two-parallelism scaling evidence: identical jobs + inputs,
+    cores-only delta, separate JVMs, fixed shuffle partitioning,
+    steady-state (warm-up + best of 3).
+    efficiency = (rate_high/rate_low)/(high/low).
+
+    Two stages are reported: the engine job over pre-extracted points
+    (compute-bound -> the headline efficiency) and the full pipeline
+    including the raw-pages scan (whose string decode saturates a
+    single box's memory bandwidth; on a real cluster that scales with
+    node count)."""
+    results = {"points": {}, "pages": {}}
     for n in (low, high):
         out = subprocess.run(
             [sys.executable, __file__, "--single-run", f"--master=local[{n}]",
-             f"--sf-dir={sf_dir}", f"--pages={SCALING_PAGES}"],
+             f"--sf-dir={sf_dir}", f"--pages={SCALING_PAGES}",
+             f"--points={SCALING_POINTS}"],
             capture_output=True, text=True, cwd=REPO, timeout=3600,
         )
         line = out.stdout.strip().splitlines()[-1]
-        results[n] = json.loads(line)
-    eff = (results[high]["pages_per_sec"] / results[low]["pages_per_sec"]) / (high / low)
+        d = json.loads(line)
+        results["points"][n] = d["points"]
+        results["pages"][n] = d["pages"]
+
+    def eff(stage):
+        lo, hi = results[stage][low], results[stage][high]
+        return round((hi["rows_per_sec"] / lo["rows_per_sec"]) / (high / low), 3)
+
     return {
-        "low": results[low],
-        "high": results[high],
+        "encode_join_stage": {
+            "low": results["points"][low],
+            "high": results["points"][high],
+            "scaling_efficiency": eff("points"),
+        },
+        "full_pipeline_with_raw_scan": {
+            "low": results["pages"][low],
+            "high": results["pages"][high],
+            "scaling_efficiency": eff("pages"),
+        },
         "cores_ratio": high / low,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": eff("points"),
     }
 
 
@@ -166,10 +225,11 @@ def main():
     ap.add_argument("--single-run", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pages", type=int, default=None)
+    ap.add_argument("--points", type=int, default=None)
     args = ap.parse_args()
 
     if args.single_run:
-        print(json.dumps(single_run(args.master, args.sf_dir, args.pages)))
+        print(json.dumps(single_run(args.master, args.sf_dir, args.pages, args.points)))
         return
     if args.scaling:
         res = scaling_protocol(args.sf_dir)

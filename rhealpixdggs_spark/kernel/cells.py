@@ -380,6 +380,65 @@ def suid_from_level_order_index(cfg: DggsConfig, index: np.ndarray, resolution: 
     return face, digits
 
 
+def post_order_index(cfg: DggsConfig, face, digits) -> np.ndarray:
+    """Post-order traversal index (cell.py:254-259):
+    sum(s_i * num(i)) + num(L) - 1 with num(k) the subtree size."""
+    n, res = digits.shape
+    num = [cfg.num_cells(res_1=k, subcells=True) for k in range(res + 1)]
+    out = face.astype(np.int64) * num[0]
+    for i in range(res):
+        out = out + digits[:, i] * num[i + 1]
+    return out + num[res] - 1
+
+
+def suid_from_post_order_index(cfg: DggsConfig, index: np.ndarray):
+    """Inverse post-order codec (cell.py:53-88). Cells come out at
+    whatever resolution the index implies; returns (face, digits,
+    resolution) per row — rows are grouped by resolution by callers."""
+    idx = np.asarray(index, dtype=np.int64)
+    out = []
+    for p in idx:
+        suid = []
+        rem = int(p)
+        for i in range(cfg.max_resolution + 1):
+            num = cfg.num_cells(res_1=i, subcells=True)
+            q, r = divmod(rem, num)
+            suid.append(q)
+            rem = r
+            if rem == num - 1:
+                break
+        out.append(suid)
+    return out  # list of [face_idx, d1, ...]
+
+
+def interval_indices(cfg: DggsConfig, suid_a: str, suid_b: str) -> tuple[int, int, int]:
+    """Level-order index range [lo, hi] equivalent to the reference's
+    post-order interval generator (dggs.py:710-735): all cells at
+    resolution max(res_a, res_b) between a and b inclusive. At a fixed
+    resolution post-order and level-order agree, so the interval is a
+    contiguous level-order index range — a WHERE BETWEEN on the packed
+    key (SURVEY.md section 2.4)."""
+    res = max(len(suid_a), len(suid_b)) - 1
+    b_side = cfg.N_side**2
+    base = cfg.num_cells(0, res - 1) if res > 0 else 0
+
+    def value_at_own_res(suid):
+        f, d = parse_suids(np.array([suid]))
+        own_base = cfg.num_cells(0, len(suid) - 2) if len(suid) > 1 else 0
+        return int(level_order_index(cfg, f, d)[0]) - own_base, len(suid) - 1
+
+    va, ra = value_at_own_res(suid_a[: res + 1])
+    if ra < res:
+        # a coarser: start at a.successor(res) = next cell at a's own
+        # resolution, descended by zeros (dggs.py:727-730).
+        va = (va + 1) * b_side ** (res - ra)
+    vb, rb = value_at_own_res(suid_b[: res + 1])
+    if rb < res:
+        # b coarser: its last descendant is <= b in post-order.
+        vb = (vb + 1) * b_side ** (res - rb) - 1
+    return base + va, base + vb, res
+
+
 # ---------------------------------------------------------------------------
 # Ellipsoidal centroid (cell.py:1061-1147); scipy.dblquad replaced by a
 # fixed-order Gauss-Legendre tensor rule (deterministic, tolerance-tested).

@@ -80,6 +80,28 @@ def pages_tile_join(
     return containment_join(enc, tiles)
 
 
+def points_grid_rollup(
+    spark: SparkSession,
+    points: DataFrame,
+    resolution: int = 9,
+    tile_res: int = 2,
+    cfg: DggsConfig = WGS84_003,
+) -> DataFrame:
+    """full_grid_rollup starting from an already-extracted points table
+    (pid, lon, lat, lang) — the engine-stage job used by the scaling
+    protocol (scan + encode + rollup + broadcast grid join, no html
+    decode)."""
+    enc = points.withColumn(
+        "cell_id", rhp_encode(F.col("lon"), F.col("lat"), resolution, cfg)
+    )
+    counts = enc.groupBy(F.substring("cell_id", 1, tile_res + 1).alias("tile_id")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.approx_count_distinct("lang").alias("n_langs"),
+    )
+    tiles = grid(spark, tile_res, cfg).withColumnRenamed("cell_id", "tile_id")
+    return tiles.join(counts, "tile_id", "left").fillna({"n_pages": 0, "n_langs": 0})
+
+
 def full_grid_rollup(
     spark: SparkSession,
     pages: DataFrame,

@@ -55,37 +55,27 @@ def _u(col_expr, salt: int):
     return (F.pmod(h, F.lit(1 << 40))).cast("double") / float(1 << 40)
 
 
-def synthesize_pages(
-    spark: SparkSession,
-    n_rows: int,
-    seed: int = 42,
-    partitions: int | None = None,
-) -> DataFrame:
-    """Build the pages table. Deterministic in (n_rows, seed) only."""
-    base = spark.range(0, n_rows, numPartitions=partitions)
-    i = F.col("id")
-
-    u_geo = _u(i, seed + 1)     # has geotag?
-    u_urban = _u(i, seed + 2)   # urban vs uniform
-    u_center = _u(i, seed + 3)  # which hot spot
+def _geo_lang_columns(i, seed: int):
+    """Shared deterministic geotag/lang derivation (hot-spot skew +
+    quasi-uniform sphere + polar probes). Returns (has_geo, lon, lat,
+    lang) column expressions over the row-id column `i`."""
+    u_geo = _u(i, seed + 1)
+    u_urban = _u(i, seed + 2)
+    u_center = _u(i, seed + 3)
     u1 = _u(i, seed + 4)
     u2 = _u(i, seed + 5)
     u_lang = _u(i, seed + 6)
-    u_len = _u(i, seed + 7)
 
     n_centers = len(URBAN_CENTERS)
     center_idx = (u_center * n_centers).cast("int")
     c_lon = F.array(*[F.lit(c[0]) for c in URBAN_CENTERS])[center_idx]
     c_lat = F.array(*[F.lit(c[1]) for c in URBAN_CENTERS])[center_idx]
-    # Box-Muller Gaussian offsets, sigma = 0.05 deg.
     eps = 1e-12
     r = F.sqrt(-2.0 * F.log(u1 + eps)) * 0.05
     g1 = r * F.cos(2 * np.pi * u2)
     g2 = r * F.sin(2 * np.pi * u2)
     urban_lon = c_lon + g1
     urban_lat = F.greatest(F.lit(-89.99), F.least(F.lit(89.99), c_lat + g2))
-    # Area-uniform sphere point (authalic-sphere method,
-    # ellipsoids.py:149-209): asin of uniform sin-latitude.
     uni_lon = u1 * 360.0 - 180.0
     uni_lat = F.degrees(F.asin(2.0 * u2 - 1.0)) * (1 - eps)
 
@@ -94,7 +84,7 @@ def synthesize_pages(
     p_lon = F.array(*[F.lit(p[0]) for p in POLAR_POINTS])[polar_idx]
     p_lat = F.array(*[F.lit(p[1]) for p in POLAR_POINTS])[polar_idx]
 
-    is_polar_probe = i < n_polar  # always-present polar coverage
+    is_polar_probe = i < n_polar
     has_geo = is_polar_probe | (u_geo >= 0.10)
     lon = (
         F.when(is_polar_probe, p_lon)
@@ -107,7 +97,6 @@ def synthesize_pages(
         .when(u_urban < 0.8, urban_lat)
         .otherwise(uni_lat)
     )
-
     lang = (
         F.when(u_lang < 0.6, "en")
         .when(u_lang < 0.7, "de")
@@ -115,6 +104,39 @@ def synthesize_pages(
         .when(u_lang < 0.9, "es")
         .otherwise("ja")
     )
+    return has_geo, lon, lat, lang
+
+
+def synthesize_points(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(pid, lon, lat, lang) for rows that carry a geotag — the same
+    distribution extract_geotags(synthesize_pages(...)) yields, minus
+    the html round-trip (used for compute-bound scaling runs)."""
+    base = spark.range(0, n_rows, numPartitions=partitions)
+    i = F.col("id")
+    has_geo, lon, lat, lang = _geo_lang_columns(i, seed)
+    return base.select(
+        i.alias("pid"), lon.alias("lon"), lat.alias("lat"), lang.alias("lang"),
+        has_geo.alias("has_geo"),
+    ).where(F.col("has_geo")).drop("has_geo")
+
+
+def synthesize_pages(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Build the pages table. Deterministic in (n_rows, seed) only."""
+    base = spark.range(0, n_rows, numPartitions=partitions)
+    i = F.col("id")
+    has_geo, lon, lat, lang = _geo_lang_columns(i, seed)
+    u_len = _u(i, seed + 7)
+
     # Deterministic token soup, 8-80 tokens keyed by id.
     n_tok = (u_len * 72 + 8).cast("int")
     words = F.array(*[F.lit(w) for w in _WORDS])

@@ -176,6 +176,59 @@ class TestIndexCodec:
         assert list(s) == sorted(s)
 
 
+class TestPostOrderInterval:
+    def test_post_order_vs_reference(self, ref, rng):
+        import random
+
+        rd = ref.dggs.RHEALPixDGGS()
+        random.seed(7)
+        for _ in range(60):
+            c = rd.random_cell(random.randint(0, 4))
+            f, d = C.parse_suids(A([str(c)]))
+            assert C.post_order_index(WGS84_003, f, d)[0] == c.index(order="post")
+
+    def test_interval_vs_reference(self, ref, rng):
+        import random
+
+        rd = ref.dggs.RHEALPixDGGS()
+        random.seed(7)
+        checked = 0
+        while checked < 25:
+            a = rd.random_cell(random.randint(0, 3))
+            b = rd.random_cell(random.randint(0, 3))
+            if not (a <= b):
+                a, b = b, a
+            try:
+                exp = [str(c) for c in rd.interval(a, b)]
+            except AttributeError:
+                # reference crashes when successor runs off the grid end
+                continue
+            lo, hi, res = C.interval_indices(WGS84_003, str(a), str(b))
+            got = (
+                []
+                if hi < lo
+                else list(
+                    C.suid_strings(
+                        *C.suid_from_level_order_index(
+                            WGS84_003, np.arange(lo, hi + 1), res
+                        )
+                    )
+                )
+            )
+            assert got == exp, (str(a), str(b))
+            checked += 1
+
+    def test_interval_doctest(self):
+        # dggs.py:720-724
+        lo, hi, res = C.interval_indices(UNIT_003, "N1", "N")
+        got = list(
+            C.suid_strings(
+                *C.suid_from_level_order_index(UNIT_003, np.arange(lo, hi + 1), res)
+            )
+        )
+        assert got == [f"N{i}" for i in range(1, 9)]
+
+
 class TestOracleParity:
     def test_encode_batch_vs_reference(self, ref, rng):
         rd = ref.dggs.RHEALPixDGGS()
