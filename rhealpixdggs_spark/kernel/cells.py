@@ -130,6 +130,79 @@ def encode_planar(
     return face, digits
 
 
+def encode_planar_index(
+    cfg: DggsConfig, x: np.ndarray, y: np.ndarray, resolution: int
+) -> np.ndarray:
+    """Planar (x, y) -> packed level-order index (int64), -1 outside.
+
+    The string-free hot path: identical face/digit math to
+    encode_planar, but digits accumulate straight into the level-order
+    key (cell.py:260-267) — no per-digit array, no string build. The
+    8-byte key is what shuffles/joins/sorts at scale; suid strings are
+    decoded on demand via suid_from_level_order_index."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    R = cfg.R_A
+    pi = np.pi
+    ns, ss = cfg.north_square, cfg.south_square
+    face = np.select(
+        [
+            (y > R * pi / 4)
+            & (y < R * 3 * pi / 4)
+            & (x > R * (-pi + ns * (pi / 2)))
+            & (x < R * (-pi / 2 + ns * (pi / 2))),
+            (y > -R * 3 * pi / 4)
+            & (y < -R * pi / 4)
+            & (x > R * (-pi + ss * (pi / 2)))
+            & (x < R * (-pi / 2 + ss * (pi / 2))),
+            (y >= -R * pi / 4) & (y <= R * pi / 4) & (x >= -R * pi) & (x < -R * pi / 2),
+            (y >= -R * pi / 4) & (y <= R * pi / 4) & (x >= -R * pi / 2) & (x < 0),
+            (y >= -R * pi / 4) & (y <= R * pi / 4) & (x >= 0) & (x < R * pi / 2),
+            (y >= -R * pi / 4) & (y <= R * pi / 4) & (x >= R * pi / 2) & (x < R * pi),
+        ],
+        [0, 5, 1, 2, 3, 4],
+        default=-1,
+    )
+    N = cfg.N_side
+    b = N * N
+    base = cfg.num_cells(0, resolution - 1) if resolution > 0 else 0
+    if resolution == 0:
+        return np.where(face >= 0, base + face, -1)
+    w = cfg.cell_width(0)
+    ul = np.array([cfg.ul_vertex_face(i) for i in range(6)], dtype=np.float64)
+    safe = np.where(face >= 0, face, 0)
+    dx = np.abs(x - ul[safe, 0]) / w
+    dy = np.abs(y - ul[safe, 1]) / w
+    smidgen = 0.5 * cfg.cell_width(cfg.max_resolution) / w
+    dx = np.where(dx == 1, dx - smidgen, dx)
+    dy = np.where(dy == 1, dy - smidgen, dy)
+    dy = np.where(np.isfinite(dy), dy, 0.0)
+    dx = np.where(np.isfinite(dx), dx, 0.0)
+    scale = float(N) ** resolution
+    row = np.clip((dy * scale).astype(np.int64), 0, int(scale) - 1)
+    col = np.clip((dx * scale).astype(np.int64), 0, int(scale) - 1)
+    val = face.astype(np.int64)
+    for i in range(resolution):
+        shift = N ** (resolution - 1 - i)
+        val = val * b + ((row // shift) % N) * N + (col // shift) % N
+    return np.where(face >= 0, base + val, -1)
+
+
+def encode_index(
+    cfg: DggsConfig,
+    lon: np.ndarray,
+    lat: np.ndarray,
+    resolution: int,
+    plane: bool = False,
+) -> np.ndarray:
+    """(lon, lat) -> packed level-order index; -1 for outside/null."""
+    if plane:
+        x, y = np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    else:
+        x, y = rhealpix_forward(cfg, lon, lat)
+    return encode_planar_index(cfg, x, y, resolution)
+
+
 def encode(
     cfg: DggsConfig,
     lon: np.ndarray,

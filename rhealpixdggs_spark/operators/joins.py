@@ -232,3 +232,41 @@ def knn_join_rings(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_join_rings_adaptive(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int,
+    ring_k: int = 1,
+    max_ring_k: int = 8,
+    query_id: str = "query_id",
+    **kwargs,
+) -> DataFrame:
+    """Ring-expansion kNN with straggler re-expansion: queries whose
+    ring held fewer than k candidates are re-run with a doubled ring
+    until satisfied or max_ring_k. Satisfied queries never recompute —
+    the expansion loop only carries the under-covered tail."""
+    remaining = queries
+    parts = []
+    rk = ring_k
+    while rk <= max_ring_k:
+        out = knn_join_rings(
+            points, remaining, k, ring_k=rk, res=res, query_id=query_id, **kwargs
+        ).cache()
+        satisfied = out.where(F.col("n_cand") >= k)
+        parts.append(satisfied)
+        short = [r[0] for r in out.where(F.col("n_cand") < k).select(query_id).distinct().collect()]
+        found = [r[0] for r in out.select(query_id).distinct().collect()]
+        # Queries with zero candidates never appear in `out` at all.
+        all_ids = [r[0] for r in remaining.select(query_id).collect()]
+        unsatisfied = set(short) | (set(all_ids) - set(found))
+        if not unsatisfied:
+            break
+        remaining = remaining.where(F.col(query_id).isin(list(unsatisfied)))
+        rk *= 2
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result

@@ -90,16 +90,33 @@ def points_grid_rollup(
     """full_grid_rollup starting from an already-extracted points table
     (pid, lon, lat, lang) — the engine-stage job used by the scaling
     protocol (scan + encode + rollup + broadcast grid join, no html
-    decode)."""
+    decode).
+
+    Scale path: the encode UDF emits the packed int64 level-order key
+    (8 bytes through Arrow and the shuffle instead of a suid string);
+    the hierarchy rollup is integer division; the tile suid string only
+    materializes on the 486-row tile side."""
+    from .functions.udfs import rhp_encode_index, rhp_index_parent
+
     enc = points.withColumn(
-        "cell_id", rhp_encode(F.col("lon"), F.col("lat"), resolution, cfg)
+        "cell_idx", rhp_encode_index(F.col("lon"), F.col("lat"), resolution, cfg)
     )
-    counts = enc.groupBy(F.substring("cell_id", 1, tile_res + 1).alias("tile_id")).agg(
+    counts = enc.groupBy(
+        rhp_index_parent(F.col("cell_idx"), resolution, tile_res, cfg).alias("tile_idx")
+    ).agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.approx_count_distinct("lang").alias("n_langs"),
     )
-    tiles = grid(spark, tile_res, cfg).withColumnRenamed("cell_id", "tile_id")
-    return tiles.join(counts, "tile_id", "left").fillna({"n_pages": 0, "n_langs": 0})
+    tiles = (
+        grid(spark, tile_res, cfg)
+        .withColumnRenamed("cell_id", "tile_id")
+        .withColumnRenamed("cell_idx", "tile_idx")
+    )
+    return (
+        tiles.join(counts, "tile_idx", "left")
+        .fillna({"n_pages": 0, "n_langs": 0})
+        .select("tile_id", "tile_idx", "n_pages", "n_langs")
+    )
 
 
 def full_grid_rollup(

@@ -240,3 +240,56 @@ class TestSimilarity:
         got = cosine_topk_lsh(emb, queries, 1, dim=64, n_planes=6).toPandas()
         # The query vector itself shares every bucket -> rank 1 == self.
         assert (got.vec_id == got.query_id).all()
+
+
+class TestScalePath:
+    def test_knn_adaptive_expands_to_match_brute(self, spark, rng):
+        from rhealpixdggs_spark.operators.joins import knn_join_rings_adaptive
+
+        res = 3
+        pts = _points_df(spark, rng, 1500, res=res).cache()
+        # One query in a dense area, one in a sparse area (forces
+        # re-expansion for the sparse one with ring_k=1).
+        qdf = spark.createDataFrame(
+            [(0, 10.0, 20.0), (1, -170.0, -80.0)], ["query_id", "q_lon", "q_lat"]
+        )
+        queries = qdf.withColumn(
+            "q_cell_id", rhp_encode(F.col("q_lon"), F.col("q_lat"), res)
+        )
+        got = knn_join_rings_adaptive(pts, queries, 3, res=res, ring_k=1)
+        brute = knn_join_brute(pts, qdf, 3, point_id="pid")
+        g = sorted((r.query_id, r.pid) for r in got.select("query_id", "pid").collect())
+        b = sorted((r.query_id, r.pid) for r in brute.select("query_id", "pid").collect())
+        assert g == b
+
+    def test_bucketed_join_has_no_exchange(self, spark, rng, tmp_path):
+        from rhealpixdggs_spark.operators.bucketing import bucketed_join, write_bucketed
+
+        import shutil
+
+        for t in ("t_pts_b", "t_tiles_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
+        pts = _points_df(spark, rng, 2000, res=4)
+        from rhealpixdggs_spark.functions.udfs import rhp_level_order_index
+
+        keyed = pts.withColumn("cell_idx", rhp_level_order_index(F.col("cell_id")))
+        write_bucketed(keyed.select("pid", "cell_idx"), "t_pts_b", n_buckets=8)
+        write_bucketed(
+            keyed.select(F.col("cell_idx"), F.lit(1).alias("w")).distinct(),
+            "t_tiles_b",
+            n_buckets=8,
+        )
+        # Force SMJ (tiny test tables would otherwise broadcast, which
+        # bypasses bucket usage entirely).
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, "t_pts_b", "t_tiles_b", on="cell_idx")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan[:800]
+            assert joined.count() == 2000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
