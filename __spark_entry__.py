@@ -58,6 +58,7 @@ from rhealpixdggs_spark.oracle_sql import (
     CUSTOMER_POINTS_SQL,
     ORDERS_POINTS_SQL,
     rhp_encode_sql,
+    rhp_nucleus_sql,
 )
 
 from rhealpixdggs_spark.kernel.constants import WGS84_003  # noqa: E402
@@ -224,6 +225,25 @@ def _q_cell_geometry(spark, sf_dir):
         F.round(c["lon"], 6).alias("c_lon"),
         F.round(c["lat"], 6).alias("c_lat"),
         F.round(b[0]["lat"], 6).alias("nw_lat"),
+    )
+
+
+def _q_cell_nucleus(spark, sf_dir):
+    """Decode path with a full SQL oracle: distinct res-2 cells of the
+    customer points, ellipsoidal nucleus via the inverse projection."""
+    from rhealpixdggs_spark.functions.udfs import rhp_nucleus
+
+    tiles = (
+        _points(spark, sf_dir, "customer")
+        .withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 2))
+        .select("cell_id")
+        .distinct()
+    )
+    nuc = rhp_nucleus(F.col("cell_id"))
+    return tiles.select(
+        "cell_id",
+        F.round(nuc["lon"], 9).alias("n_lon"),
+        F.round(nuc["lat"], 9).alias("n_lat"),
     )
 
 
@@ -441,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rings": _q_knn_rings,
         "kring_sizes": _q_kring_sizes,
         "cell_geometry": _q_cell_geometry,
+        "cell_nucleus": _q_cell_nucleus,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -578,6 +599,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_brute": _knn_sql(),
         "knn_rings": _knn_sql(),
+        "cell_nucleus": f"""
+            SELECT cell_id, round(n_lon, 9) AS n_lon, round(n_lat, 9) AS n_lat
+            FROM ({rhp_nucleus_sql(f"SELECT DISTINCT cell_id FROM ({cust2})", 2)})
+        """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "dedup_exact": """
             SELECT lang, count(*) AS n_docs,

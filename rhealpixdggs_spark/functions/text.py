@@ -97,9 +97,17 @@ def fingerprint(text: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Array of word n-grams (space-joined) for Jaccard similarity."""
+    """Array of word n-grams (space-joined) for Jaccard similarity.
+
+    Built with zip_with over shifted views of the token array (one pass,
+    linear allocation) instead of per-index slice+concat (quadratic);
+    zip_with truncates to the shorter side, yielding exactly
+    size-n+1 grams. Documents shorter than n collapse to one gram."""
     toks = tokens(F.lower(text))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.size(toks) - k)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # zip_with pads the shorter side with nulls; trim to size-n+1.
+    grams = F.slice(grams, 1, F.size(toks) - (n - 1))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)

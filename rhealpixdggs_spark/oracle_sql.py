@@ -44,7 +44,12 @@ def _series_coeffs(e: float) -> list[float]:
 
 
 def _r(x: float) -> str:
-    return repr(float(x))
+    """Float literal that DuckDB parses as DOUBLE. Bare decimals parse
+    as DECIMAL and make constant subexpressions evaluate in decimal
+    arithmetic (caught as a 2-ulp nucleus shift flipping a pole-branch
+    CASE); an exponent forces the double parser."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
 
 
 def rhp_encode_sql(source_sql: str, res: int, keep_cols: str = "pid") -> str:
@@ -152,6 +157,145 @@ SELECT {keep_cols},
   CASE WHEN face < 0 THEN NULL ELSE {suid_concat} END AS cell_id
 FROM s12
 """
+
+
+def _series_coeffs_inverse(e: float) -> list[float]:
+    """Fold the A20 inverse-series coefficients exactly as the
+    reference nests them (utils.py:267-338)."""
+    n = (1 - math.sqrt(1 - e**2)) / (1 + math.sqrt(1 - e**2))
+    c2 = n * (
+        4 / 3
+        + n * (4 / 45 + n * (-16 / 35 + n * (-2582 / 14175 + n * (60136 / 467775 + n * 28112932 / 212837625))))
+    )
+    c4 = n * (
+        n * (46 / 45 + n * (152 / 945 + n * (-11966 / 14175 + n * (-21016 / 51975 + n * 251310128 / 638512875))))
+    )
+    c6 = n * (
+        n * (n * (3044 / 2835 + n * (3802 / 14175 + n * (-94388 / 66825 + n * (-8797648 / 10945935)))))
+    )
+    c8 = n * (n * (n * (n * (6059 / 4725 + n * (41072 / 93555 + n * (-1472637812 / 638512875))))))
+    c10 = n * (n * (n * (n * (n * (768272 / 467775 + n * 455935736 / 638512875)))))
+    c12 = n * (n * (n * (n * (n * (n * 4210684958 / 1915538625)))))
+    return [c2, c4, c6, c8, c10, c12]
+
+
+def rhp_nucleus_sql(cells_sql: str, res: int) -> str:
+    """SQL pipeline decoding uniform-resolution suids (column cell_id
+    in `cells_sql`) to their ellipsoidal nucleus (n_lon, n_lat):
+    ul-vertex digit math (cell.py:483-531), nucleus offset
+    (cell.py:625-653), combine_triangles inverse (pj_rhealpix.py:
+    109-117, 220-257), HEALPix sphere inverse (pj_healpix.py:64-107),
+    inverse authalic series (utils.py:261-343). Constants pre-folded
+    in the kernel's float op order."""
+    i2, i4, i6, i8, i10, i12 = map(_r, _series_coeffs_inverse(_E))
+    pi = _r(_PI)
+    p12 = _r(_PI / 2)
+    p14 = _r(_PI / 4)
+    a34 = _r(-3 * _PI / 4)
+    eps = "1e-15"
+    rad2deg = _r(np_rad2deg_const())
+    w0 = _R * (_PI / 2) * 3.0 ** (-0)
+    half_w = _r(WGS84_003.cell_width(res) / 2)
+    inv_scale = _r(3.0 ** (-res))
+    ulx = {
+        0: _r(_R * (-_PI + 0 * _PI / 2)), 1: _r(_R * -_PI), 2: _r(_R * (-_PI / 2)),
+        3: _r(_R * 0.0), 4: _r(_R * (_PI / 2)), 5: _r(_R * (-_PI + 0 * _PI / 2)),
+    }
+    uly = {
+        0: _r(_R * (3 * _PI / 4)), 1: _r(_R * (_PI / 4)), 2: _r(_R * (_PI / 4)),
+        3: _r(_R * (_PI / 4)), 4: _r(_R * (_PI / 4)), 5: _r(_R * (-_PI / 4)),
+    }
+    # Digit sums: dy_int = sum(row_i * 3^(res-i)), row_i = d_i // 3.
+    dy_terms = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) // 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    dx_terms = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) % 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    # Inverse-triangle lines (ns = ss = 0), constants folded.
+    An1 = _r(-3 * _PI / 4 + (0 - 1) * _PI / 2)
+    An2 = _r(-3 * _PI / 4 + (0 + 1) * _PI / 2)
+    As1 = _r(-3 * _PI / 4 + (0 + 1) * _PI / 2)
+    As2 = _r(-3 * _PI / 4 + (0 - 1) * _PI / 2)
+    return f"""
+WITH cells AS ({cells_sql}),
+d0 AS (SELECT cell_id,
+  CASE substr(cell_id, 1, 1) WHEN 'N' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2
+       WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END AS face,
+  ({dy_terms}) AS dy_int, ({dx_terms}) AS dx_int
+  FROM cells),
+d1 AS (SELECT cell_id,
+  (CASE face WHEN 0 THEN {ulx[0]} WHEN 1 THEN {ulx[1]} WHEN 2 THEN {ulx[2]}
+             WHEN 3 THEN {ulx[3]} WHEN 4 THEN {ulx[4]} ELSE {ulx[5]} END
+   + {_r(w0)} * (dx_int * {inv_scale}) + {half_w}) / {_r(_R)} AS x,
+  (CASE face WHEN 0 THEN {uly[0]} WHEN 1 THEN {uly[1]} WHEN 2 THEN {uly[2]}
+             WHEN 3 THEN {uly[3]} WHEN 4 THEN {uly[4]} ELSE {uly[5]} END
+   - {_r(w0)} * (dy_int * {inv_scale}) - {half_w}) / {_r(_R)} AS y
+  FROM d0),
+d2 AS (SELECT cell_id, x, y,
+  CASE WHEN y > {p14} THEN 1 WHEN y < -{p14} THEN 2 ELSE 0 END AS region
+  FROM d1),
+d3 AS (SELECT cell_id, x, y, region,
+  CASE WHEN region = 1 THEN
+    (CASE WHEN y < (x - {An1}) - {eps} AND y >= (-x + {An2}) - {eps} THEN 1
+          WHEN y >= (x - {An1}) - {eps} AND y > (-x + {An2}) + {eps} THEN 2
+          WHEN y > (x - {An1}) + {eps} AND y <= (-x + {An2}) + {eps} THEN 3
+          ELSE 0 END)
+  WHEN region = 2 THEN
+    (CASE WHEN y <= (x - {As1}) + {eps} AND y > (-x + {As2}) + {eps} THEN 1
+          WHEN y < (x - {As1}) - {eps} AND y <= (-x + {As2}) + {eps} THEN 2
+          WHEN y >= (x - {As1}) - {eps} AND y < (-x + {As2}) - {eps} THEN 3
+          ELSE 0 END)
+  ELSE -1 END AS c
+  FROM d2),
+d4 AS (SELECT cell_id, region, c,
+  x - {a34} AS dx0,
+  CASE WHEN region = 1 THEN y - {p12} ELSE y + {p12} END AS dy0,
+  CASE WHEN region = 1 THEN (4 - c) % 4 ELSE c % 4 END AS t,
+  x AS hx0, y AS hy0
+  FROM d3),
+d5 AS (SELECT cell_id,
+  CASE WHEN region = 0 THEN hx0 ELSE
+    (CASE t WHEN 0 THEN dx0 WHEN 1 THEN -dy0 WHEN 2 THEN -dx0 ELSE dy0 END)
+    + ({a34} + {p12}*c) END AS hx,
+  CASE WHEN region = 0 THEN hy0 ELSE
+    (CASE t WHEN 0 THEN dy0 WHEN 1 THEN dx0 WHEN 2 THEN -dy0 ELSE -dx0 END)
+    + (CASE WHEN region = 1 THEN {p12} ELSE -{p12} END) END AS hy
+  FROM d4),
+d6 AS (SELECT cell_id, hx, hy, abs(hy) AS ay,
+  {a34} + {p12}*least(floor(2*hx/{pi} + 2), 3) AS xc
+  FROM d5),
+d7 AS (SELECT cell_id,
+  CASE WHEN ay <= {p14} THEN hx
+       WHEN ay < {p12} THEN
+         greatest(least(xc + (hx - xc)/(2 - (4*ay)/{pi}), {pi}), -{pi})
+       ELSE -{pi} END AS lam,
+  CASE WHEN ay <= {p14} THEN asin((8*hy)/{_r(3 * _PI)})
+       WHEN ay < {p12} THEN
+         sign(hy) * asin(1 - ((2 - (4*ay)/{pi})*(2 - (4*ay)/{pi}))/3)
+       ELSE sign(hy) * {p12} END AS beta
+  FROM d6),
+d8 AS (SELECT cell_id, lam,
+  beta + ({i2}*sin(2*beta) + {i4}*sin(4*beta) + {i6}*sin(6*beta)
+        + {i8}*sin(8*beta) + {i10}*sin(10*beta) + {i12}*sin(12*beta)) AS phi
+  FROM d7),
+d9 AS (SELECT cell_id, lam * {rad2deg} AS lon_d, phi * {rad2deg} AS lat_d FROM d8)
+SELECT cell_id,
+  CASE WHEN lon_d >= 180 THEN lon_d - 360
+       WHEN lon_d < -180 THEN lon_d + 360 ELSE lon_d END AS n_lon,
+  lat_d AS n_lat
+FROM d9
+"""
+
+
+def np_rad2deg_const() -> float:
+    """The constant numpy multiplies by in rad2deg (180/pi as a
+    double), matching the kernel's conversion bit-for-bit."""
+    import numpy as np
+
+    return float(np.rad2deg(1.0))
 
 
 # Deterministic synthetic point derivations shared by Spark queries and
