@@ -79,7 +79,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _points(spark: SparkSession, sf_dir: str, table: str = "orders") -> DataFrame:
-    key = {"orders": "o_orderkey", "customer": "c_custkey"}[table]
+    key = {
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+    }[table]
     df = _t(spark, sf_dir, table)
     return df.select(
         F.col(key).alias("pid"),
@@ -449,6 +453,398 @@ def _q_simhash(spark, sf_dir):
     return simhash(docs, bits=32)
 
 
+# ---------------------------------------------------------------------------
+# hierarchy / region / raster / dedup / streaming / multimodal queries
+# ---------------------------------------------------------------------------
+
+SUPPLIER_POINTS_SQL = (
+    "SELECT s_suppkey AS pid, "
+    "((s_suppkey * 9973) % 360000) / 1000.0 - 180.0 AS lon, "
+    "((s_suppkey * 7919) % 178000) / 1000.0 - 89.0 AS lat "
+    "FROM supplier"
+)
+
+RASTER720_SQL = (
+    "SELECT id AS pid, "
+    "-180.0e0 + ((id % 720) * 2 + 1) * 0.25e0 AS lon, "
+    "90.0e0 - ((id // 720) * 2 + 1) * 0.25e0 AS lat, "
+    "((id * 9973) % 1000) / 10.0e0 AS value "
+    "FROM range(259200) t(id)"
+)
+
+RASTER144_SQL = (
+    "SELECT id AS pid, "
+    "-180.0e0 + ((id % 144) * 2 + 1) * 1.25e0 AS lon, "
+    "90.0e0 - ((id // 144) * 2 + 1) * 1.25e0 AS lat "
+    "FROM range(10368) t(id)"
+)
+
+# Point-in-polygon fixture: convex outer ring with a convex hole;
+# vertices chosen off the 1e-3 point lattice so no test point sits on
+# an edge (kernel even-odd vs oracle half-plane would be ambiguous).
+PIP_OUTER = [(-30.137, -20.211), (40.149, -25.313), (45.151, 30.017), (-25.139, 35.021)]
+PIP_HOLE = [(0.0005, 0.0007), (10.0005, 1.0007), (9.0005, 10.0007), (-0.9995, 9.0007)]
+
+# Ellipsoidal polygon for polyfill / zone / cover demos (lon/lat ring).
+EURO_RING = [(-10.0, 36.0), (25.0, 34.0), (30.0, 58.0), (-8.0, 60.0)]
+
+
+def _convex_inside_sql(poly, px: str = "lon", py: str = "lat") -> str:
+    """Half-plane AND-chain for a convex ring — the oracle's
+    independent point-in-polygon (the engine uses even-odd ray
+    crossing in NumPy)."""
+    ring = list(poly) + [poly[0]]
+    area2 = sum(x1 * y2 - x2 * y1 for (x1, y1), (x2, y2) in zip(ring, ring[1:]))
+    op = ">" if area2 > 0 else "<"
+    conds = [
+        f"((({x2!r}e0) - ({x1!r}e0)) * ({py} - ({y1!r}e0)) "
+        f"- (({y2!r}e0) - ({y1!r}e0)) * ({px} - ({x1!r}e0))) {op} 0"
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+    ]
+    return "(" + " AND ".join(conds) + ")"
+
+
+def _q_hierarchy_ops(spark, sf_dir):
+    """Native-column hierarchy algebra (SURVEY.md section 2.3): parent,
+    center child, validity, resolution, base cell — no UDF."""
+    from rhealpixdggs_spark.functions.udfs import (
+        rhp_base_cell,
+        rhp_center_child,
+        rhp_is_valid_col,
+        rhp_parent,
+        rhp_resolution,
+    )
+
+    cells = (
+        _points(spark, sf_dir)
+        .select(rhp_encode(F.col("lon"), F.col("lat"), 5).alias("cell_id"))
+        .distinct()
+    )
+    return cells.select(
+        "cell_id",
+        rhp_parent(F.col("cell_id"), 2).alias("parent2"),
+        rhp_center_child(F.col("cell_id"), 7).alias("center7"),
+        rhp_is_valid_col(F.col("cell_id")).cast("int").alias("valid"),
+        rhp_resolution(F.col("cell_id")).alias("res"),
+        rhp_base_cell(F.col("cell_id")).alias("base_cell"),
+    )
+
+
+def _q_subcells(spark, sf_dir):
+    """Descendant generation (Cell.subcells, cell.py:456-481) as a
+    native explode of generated digit pairs — res 2 -> res 4."""
+    tiles = (
+        _points(spark, sf_dir, "customer")
+        .select(rhp_encode(F.col("lon"), F.col("lat"), 2).alias("parent_id"))
+        .distinct()
+    )
+    children = F.expr(
+        "transform(sequence(0, 80), i -> concat(parent_id, "
+        "cast(i div 9 as string), cast(i % 9 as string)))"
+    )
+    return tiles.select("parent_id", F.explode(children).alias("child_id"))
+
+
+def _q_compress_cells(spark, sf_dir):
+    from rhealpixdggs_spark.operators.tiling import compress_cells_df
+
+    enc = _points(spark, sf_dir).select(
+        rhp_encode(F.col("lon"), F.col("lat"), 3).alias("cell_id")
+    )
+    return compress_cells_df(enc)
+
+
+def _q_cell_from_region(spark, sf_dir):
+    """Smallest cell containing each supplier's bbox (dggs.py:833-907):
+    encode both corners, longest common suid prefix — pure column ops
+    after the two encodes."""
+    pts = _points(spark, sf_dir, "supplier")
+    clon = F.col("lon") * 0.99
+    clat = F.col("lat") * 0.99
+    df = pts.select(
+        "pid",
+        rhp_encode(clon - 1.8, clat + 0.9, 5).alias("nw"),
+        rhp_encode(clon + 1.8, clat - 0.9, 5).alias("se"),
+    )
+    expr = None
+    for L in range(6, 0, -1):
+        cond = F.substring("nw", 1, L) == F.substring("se", 1, L)
+        val = F.substring("nw", 1, L)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return df.select("pid", expr.otherwise(F.lit(None)).alias("region_cell"))
+
+
+def _q_minimal_cover(spark, sf_dir):
+    """minimal_cover (dggs.py:1372-1410): distinct cells of a point set."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(rhp_encode(F.col("lon"), F.col("lat"), 4).alias("cell_id"))
+        .where(F.col("cell_id").isNotNull())
+        .distinct()
+    )
+
+
+def _q_salted_cell_agg(spark, sf_dir):
+    """Explicit two-phase salted per-cell aggregation (north_rule skew
+    handling) — result identical to the unsalted plan, verified by the
+    plain GROUP BY oracle."""
+    from rhealpixdggs_spark.operators.joins import cell_agg
+
+    enc = _points(spark, sf_dir).withColumn(
+        "cell_id", rhp_encode(F.col("lon"), F.col("lat"), 3)
+    )
+    return cell_agg(
+        enc,
+        "cell_id",
+        {"n": F.count(F.lit(1)), "sum_pid": F.sum("pid")},
+        n_salt=8,
+    )
+
+
+def _q_knn_adaptive(spark, sf_dir):
+    from rhealpixdggs_spark.operators.joins import knn_join_rings_adaptive
+
+    res = 3
+    pts = _points(spark, sf_dir).withColumn(
+        "cell_id", rhp_encode(F.col("lon"), F.col("lat"), res)
+    )
+    queries_df = _knn_queries_df(spark).withColumn(
+        "q_cell_id", rhp_encode(F.col("q_lon"), F.col("q_lat"), res)
+    )
+    out = knn_join_rings_adaptive(pts, queries_df, 5, res=res, ring_k=2)
+    return out.select("query_id", "pid", F.col("rank").alias("rnk"))
+
+
+def _q_pip_polygon(spark, sf_dir):
+    """Point-in-polygon against an arbitrary ring with a hole: the
+    vectorized even-odd kernel (replaces matplotlib Path,
+    pj_rhealpix.py:449-470) vs the oracle's half-plane algebra."""
+    from rhealpixdggs_spark.functions.udfs import point_in_polygon_col
+
+    pts = _points(spark, sf_dir)
+    return pts.where(
+        point_in_polygon_col(F.col("lon"), F.col("lat"), PIP_OUTER, [PIP_HOLE])
+    ).select("pid", "lon", "lat")
+
+
+def _q_raster_to_vector(spark, sf_dir):
+    """Raster -> vector tile assignment (north_star): global 0.5-degree
+    pixel grid -> res-3 zonal statistics, generated distributed from
+    spark.range."""
+    from rhealpixdggs_spark.operators.raster import raster_grid, raster_to_cells
+
+    return raster_to_cells(raster_grid(spark, 720, 360), res=3)
+
+
+def _q_vector_to_raster(spark, sf_dir):
+    """Vector -> raster: paint the customer res-2 tiles onto a
+    2.5-degree pixel grid (broadcast join on the pixel's encode)."""
+    from rhealpixdggs_spark.operators.raster import cells_to_raster, raster_grid
+
+    tiles = (
+        _points(spark, sf_dir, "customer")
+        .select(rhp_encode(F.col("lon"), F.col("lat"), 2).alias("cell_id"))
+        .distinct()
+    )
+    grid144 = raster_grid(spark, 144, 72)
+    return cells_to_raster(grid144, tiles, res=2).select(
+        F.col("pixel_id"), F.col("cell_id")
+    )
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents plus planted byte-identical copies (doc_id+100000 for
+    every 5th doc) so dedup operators have positives to find."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(extra)
+
+
+def _q_dedup_groups(spark, sf_dir):
+    from rhealpixdggs_spark.operators.dedup import exact_dup_groups
+
+    g = exact_dup_groups(_docs_with_dups(spark, sf_dir))
+    return g.select(
+        "fp",
+        "dup_count",
+        F.array_join(
+            F.transform("members", lambda x: x.cast("string")), ","
+        ).alias("members"),
+    )
+
+
+def _emb_with_near_dups(spark, sf_dir):
+    """embeddings plus planted scaled copies (x2, same direction ->
+    cosine 1.0) for near-dup recall."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _doubled(F.col("embedding")).alias("embedding")
+    )
+    extra = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    return emb.unionByName(extra)
+
+
+def _q_near_dup_embeddings(spark, sf_dir):
+    from rhealpixdggs_spark.operators.dedup import embedding_near_pairs
+
+    return embedding_near_pairs(_emb_with_near_dups(spark, sf_dir), threshold=0.999)
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    from rhealpixdggs_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs_with_dups(spark, sf_dir), num_hashes=16, bands=8
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from rhealpixdggs_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+def _q_lsh_cosine_topk(spark, sf_dir):
+    from rhealpixdggs_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _doubled(F.col("embedding")).alias("embedding")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    queries_df = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return cosine_topk_lsh(emb, queries_df, k=5, dim=dim, n_planes=4)
+
+
+def _q_polyfill(spark, sf_dir):
+    from rhealpixdggs_spark.operators.tiling import polyfill_tiles
+
+    return polyfill_tiles(
+        spark, {"euro": [(EURO_RING, [])]}, res=3, plane=False
+    )
+
+
+def _q_region_cover(spark, sf_dir):
+    """cells_from_region (dggs.py:1181-1331): matrix of res-3 cells
+    covering an ellipsoidal quad, flattened with row index."""
+    from rhealpixdggs_spark.kernel.regions import cells_from_region
+
+    mat = cells_from_region(WGS84_003, 3, (-10.0, 60.0), (30.0, 34.0), plane=False)
+    rows = [
+        (ri, ci, str(cell))
+        for ri, row in enumerate(mat)
+        for ci, cell in enumerate(row)
+    ]
+    return spark.createDataFrame(rows, ["row_i", "col_i", "cell_id"])
+
+
+def _q_zone_from_poly(spark, sf_dir):
+    from rhealpixdggs_spark.kernel.zones import zone_from_poly
+
+    cells = zone_from_poly(WGS84_003, [(EURO_RING, [])], res_limit=3)
+    return spark.createDataFrame(
+        [(str(c), len(c) - 1) for c in cells], ["cell_id", "res"]
+    )
+
+
+def _q_linetrace(spark, sf_dir):
+    from rhealpixdggs_spark.kernel.regions import linetrace
+
+    line = [(-20.0, 10.0), (15.0, 22.0), (40.0, -5.0)]
+    cells = linetrace(WGS84_003, [line], 3, plane=False)
+    return spark.createDataFrame(
+        [(i, str(c)) for i, c in enumerate(cells)], ["seq", "cell_id"]
+    )
+
+
+def _q_neighbors(spark, sf_dir):
+    """Ellipsoidal 4-neighborhood per tile (cell.py:1347-1446)."""
+    from rhealpixdggs_spark.functions.udfs import rhp_neighbors
+
+    tiles = (
+        _points(spark, sf_dir, "customer")
+        .select(rhp_encode(F.col("lon"), F.col("lat"), 2).alias("cell_id"))
+        .distinct()
+    )
+    nb = tiles.select(
+        "cell_id", F.explode(rhp_neighbors(F.col("cell_id"), plane=False)).alias(
+            "direction", "neighbor"
+        )
+    )
+    return nb
+
+
+def _q_streaming_window(spark, sf_dir):
+    """Structured Streaming in the correctness gate: the events table
+    replayed through a file-source stream, tumbling 1h window x
+    event_type aggregation (complete mode, Trigger.AvailableNow) —
+    output must equal the batch/DuckDB plan on the same rows."""
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="rhp_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    name = "rhp_stream_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rhp_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Opaque binary payloads -> byte features via Arrow mapInPandas
+    (multimodal plumbing; codec stubbed per environment)."""
+    from rhealpixdggs_spark.operators.multimodal import attach_payload, byte_features
+
+    media = attach_payload(_t(spark, sf_dir, "documents"))
+    feats = byte_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte"), "first_byte"
+    )
+
+
+def _q_frame_sample(spark, sf_dir):
+    from rhealpixdggs_spark.operators.multimodal import attach_payload, sample_frames
+
+    media = attach_payload(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_size=16, every_k=3)
+    return frames.select("doc_id", "frame_idx", "frame_len", "frame_sum")
+
+
+def _q_image_decode(spark, sf_dir):
+    from rhealpixdggs_spark.operators.multimodal import attach_payload, decode_image
+
+    media = attach_payload(_t(spark, sf_dir, "documents"))
+    out = decode_image(media)
+    return out.select(
+        "doc_id", "width", "height", F.round("mean_px", 6).alias("mean_px"), "decoded_by"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "encode_cells_res5": _q_encode_cells,
@@ -477,6 +873,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cross_index": _q_s2_cross_index,
         "grid_res3": _q_grid_res3,
         "interval_scan": _q_interval,
+        "hierarchy_ops": _q_hierarchy_ops,
+        "subcells": _q_subcells,
+        "compress_cells": _q_compress_cells,
+        "cell_from_region": _q_cell_from_region,
+        "minimal_cover": _q_minimal_cover,
+        "salted_cell_agg": _q_salted_cell_agg,
+        "knn_adaptive": _q_knn_adaptive,
+        "pip_polygon": _q_pip_polygon,
+        "raster_to_vector": _q_raster_to_vector,
+        "vector_to_raster": _q_vector_to_raster,
+        "dedup_groups": _q_dedup_groups,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "lsh_cosine_topk": _q_lsh_cosine_topk,
+        "polyfill": _q_polyfill,
+        "region_cover": _q_region_cover,
+        "zone_from_poly": _q_zone_from_poly,
+        "linetrace": _q_linetrace,
+        "neighbors": _q_neighbors,
+        "streaming_window": _q_streaming_window,
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
+        "image_decode": _q_image_decode,
     }
 
 
@@ -528,11 +948,43 @@ SELECT query_id, pid, rnk FROM (
 """
 
 
+def _compress_sql(base_cells_sql: str, passes: int = 3) -> str:
+    """DuckDB twin of compress_cells_df: iterative complete-sibling
+    merge, one CTE per pass (fixpoint within `passes` levels)."""
+    sql = f"WITH c0 AS MATERIALIZED ({base_cells_sql})"
+    cur = "c0"
+    for i in range(1, passes + 1):
+        sql += f""",
+p{i} AS (SELECT substr(cell_id, 1, length(cell_id)-1) AS parent
+         FROM {cur} WHERE length(cell_id) > 1
+         GROUP BY 1 HAVING count(*) = 9),
+c{i} AS MATERIALIZED (SELECT cell_id FROM {cur}
+         WHERE length(cell_id) <= 1
+            OR substr(cell_id, 1, length(cell_id)-1) NOT IN (SELECT parent FROM p{i})
+         UNION ALL SELECT parent AS cell_id FROM p{i})"""
+        cur = f"c{i}"
+    return sql + f" SELECT cell_id FROM {cur}"
+
+
 def oracle_sql() -> dict[str, str]:
     enc5 = rhp_encode_sql(ORDERS_POINTS_SQL, 5)
     enc9 = rhp_encode_sql(ORDERS_POINTS_SQL, 9)
     cust2 = rhp_encode_sql(CUSTOMER_POINTS_SQL, 2)
     enc3 = rhp_encode_sql(ORDERS_POINTS_SQL, 3)
+    enc4 = rhp_encode_sql(ORDERS_POINTS_SQL, 4)
+    nw_src = (
+        f"SELECT pid, (lon * 0.99e0) - 1.8e0 AS lon, (lat * 0.99e0) + 0.9e0 AS lat "
+        f"FROM ({SUPPLIER_POINTS_SQL})"
+    )
+    se_src = (
+        f"SELECT pid, (lon * 0.99e0) + 1.8e0 AS lon, (lat * 0.99e0) - 0.9e0 AS lat "
+        f"FROM ({SUPPLIER_POINTS_SQL})"
+    )
+    prefix_case = " ".join(
+        f"WHEN substr(nw.cell_id,1,{L}) = substr(se.cell_id,1,{L}) "
+        f"THEN substr(nw.cell_id,1,{L})"
+        for L in range(6, 0, -1)
+    )
 
     sq = "l_extendedprice * (1 - l_discount)"
     lang_hits = {
@@ -691,6 +1143,115 @@ def oracle_sql() -> dict[str, str]:
             str(WGS84_003.num_cells(0, 2) + 6 * 9**3),
         ),
         "interval_scan": _interval_oracle_sql(),
+        "hierarchy_ops": f"""
+            WITH enc AS MATERIALIZED ({enc5})
+            SELECT DISTINCT cell_id,
+              substr(cell_id, 1, 3) AS parent2,
+              rpad(cell_id, 8, '4') AS center7,
+              CAST(regexp_matches(cell_id, '^[NOPQRS][0-8]*$') AS INT) AS valid,
+              length(cell_id) - 1 AS res,
+              substr(cell_id, 1, 1) AS base_cell
+            FROM enc
+        """,
+        "subcells": f"""
+            WITH t AS MATERIALIZED (SELECT DISTINCT cell_id AS parent_id FROM ({cust2}))
+            SELECT parent_id,
+              parent_id || CAST(i // 9 AS VARCHAR) || CAST(i % 9 AS VARCHAR)
+                AS child_id
+            FROM t, range(81) r(i)
+        """,
+        "compress_cells": _compress_sql(
+            f"SELECT DISTINCT cell_id FROM ({enc3})", passes=3
+        ),
+        "cell_from_region": f"""
+            WITH nw AS MATERIALIZED ({rhp_encode_sql(nw_src, 5)}),
+                 se AS MATERIALIZED ({rhp_encode_sql(se_src, 5)})
+            SELECT nw.pid AS pid,
+              CASE {prefix_case} ELSE NULL END AS region_cell
+            FROM nw JOIN se USING (pid)
+        """,
+        "minimal_cover": f"""
+            WITH enc AS MATERIALIZED ({enc4})
+            SELECT DISTINCT cell_id FROM enc WHERE cell_id IS NOT NULL
+        """,
+        "salted_cell_agg": f"""
+            WITH enc AS MATERIALIZED ({enc3})
+            SELECT cell_id, count(*) AS n, sum(pid) AS sum_pid
+            FROM enc GROUP BY cell_id
+        """,
+        "knn_adaptive": _knn_sql(),
+        "pip_polygon": f"""
+            WITH pts AS ({ORDERS_POINTS_SQL})
+            SELECT pid, lon, lat FROM pts
+            WHERE {_convex_inside_sql(PIP_OUTER)}
+              AND NOT {_convex_inside_sql(PIP_HOLE)}
+        """,
+        "raster_to_vector": f"""
+            WITH enc AS MATERIALIZED ({rhp_encode_sql(RASTER720_SQL, 3, keep_cols="pid, value")})
+            SELECT cell_id, count(*) AS n_pixels,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS mean_value
+            FROM enc WHERE cell_id IS NOT NULL GROUP BY cell_id
+        """,
+        "vector_to_raster": f"""
+            WITH px AS MATERIALIZED ({rhp_encode_sql(RASTER144_SQL, 2, keep_cols="pid")}),
+            tiles AS MATERIALIZED (SELECT DISTINCT cell_id FROM ({cust2}))
+            SELECT px.pid AS pixel_id, px.cell_id
+            FROM px JOIN tiles USING (cell_id)
+        """,
+        "dedup_groups": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id % 5 = 0)
+            SELECT md5(text) AS fp, count(*) AS dup_count,
+              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+            FROM u GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "near_dup_embeddings": """
+            WITH u AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding::DOUBLE[], x -> x * 2.0e0) AS v
+              FROM embeddings WHERE vec_id % 10 = 0),
+            d AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+              FROM u a JOIN u b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos FROM d WHERE cos >= 0.999e0
+        """,
+        "streaming_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "multimodal_features": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+              round(list_aggregate(list_transform(range(1, length(text)+1),
+                      i -> unicode(text[CAST(i AS INT)])), 'sum')
+                    / (1.0e0 * length(text)), 6) AS mean_byte,
+              unicode(substr(text, 1, 1)) AS first_byte
+            FROM documents
+        """,
+        "frame_sample": """
+            WITH d AS (SELECT doc_id, text,
+                              octet_length(encode(text)) AS nb FROM documents),
+            f AS (SELECT doc_id, text, nb,
+                         unnest(range(0, CAST(ceil(nb/16.0e0) AS BIGINT))) AS fi
+                  FROM d)
+            SELECT doc_id, fi AS frame_idx,
+              CAST(least(16, nb - fi*16) AS INT) AS frame_len,
+              CAST(list_aggregate(list_transform(
+                     range(1, least(16, nb - fi*16) + 1),
+                     i -> unicode(text[CAST(fi*16 + i AS INT)])), 'sum')
+                   AS BIGINT) AS frame_sum
+            FROM f WHERE fi % 3 = 0
+        """,
         # kring_sizes / cell_geometry / minhash_sig / simhash /
         # s2_cross_index are intentionally omitted: ring walks,
         # ellipsoidal inverse projection, xxhash64 and the S2 Hilbert

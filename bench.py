@@ -103,6 +103,7 @@ def run_headline(spark, sf_dir: str) -> dict:
         "cosine_topk",
         "tpch_pricing",
         "revenue_by_nation",
+        "raster_to_vector",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

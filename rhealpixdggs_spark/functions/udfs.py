@@ -41,6 +41,7 @@ __all__ = [
     "rhp_center_child",
     "cell_width_col",
     "cell_area_col",
+    "point_in_polygon_col",
 ]
 
 
@@ -329,3 +330,28 @@ def cell_area_col(
     w = cell_width_col(resolution, cfg)
     a = w * w
     return a if plane else F.lit(8 / (3 * np.pi)) * a
+
+
+def point_in_polygon_col(
+    lon: Column, lat: Column, exterior, holes=()
+) -> Column:
+    """Vectorized even-odd point-in-polygon (replaces the reference's
+    matplotlib Path.contains_point, pj_rhealpix.py:449-470 /
+    rhp_wrappers.py:590-593): the polygon (with holes) is captured in
+    the closure; each Arrow batch is one NumPy ray-crossing pass."""
+    from ..kernel.regions import points_in_polygon
+
+    ext = [(float(x), float(y)) for x, y in exterior]
+    hls = [[(float(x), float(y)) for x, y in h] for h in holes]
+
+    @pandas_udf(T.BooleanType())
+    def _pip(lo: pd.Series, la: pd.Series) -> pd.Series:
+        inside = points_in_polygon(
+            lo.to_numpy(dtype=np.float64), la.to_numpy(dtype=np.float64),
+            ext, hls,
+        )
+        return pd.Series(inside, index=lo.index)
+
+    # Nondeterministic marker prevents Catalyst from duplicating the
+    # UDF into inferred filters (same guard as the geometry UDFs).
+    return _pip.asNondeterministic()(lon, lat)

@@ -146,10 +146,14 @@ def zone_from_poly(
     (CellZoneFromPoly, conversion.py:40-111): recursive subdivision
     keeping fully-contained children, nucleus test at res_limit."""
     geom = _Geometry(polygons)
+    roots: list[str]
     if bounding_cell is None:
         bounding_cell = get_finest_containing_cell(cfg, polygons)
-        if bounding_cell is None:
-            return []
+        # Geometry spanning several res-0 faces has no single bounding
+        # cell; recurse from every face that overlaps it.
+        roots = [bounding_cell] if bounding_cell is not None else list(CELLS0)
+    else:
+        roots = [bounding_cell]
     out: list[str] = []
 
     def nucleus_inside(suid: str) -> bool:
@@ -177,5 +181,8 @@ def zone_from_poly(
                 if geom.overlaps_ring(cring):
                     get_dggs_poly(child)
 
-    get_dggs_poly(bounding_cell)
+    for root in roots:
+        ring = _cell_ring_ellipsoidal(cfg, root)
+        if len(roots) == 1 or geom.overlaps_ring(ring) or geom.contains_ring(ring):
+            get_dggs_poly(root)
     return out

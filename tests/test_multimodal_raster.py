@@ -1,0 +1,111 @@
+"""Multimodal binary-column plumbing + raster<->vector operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rhealpixdggs_spark.kernel import cells as KC
+from rhealpixdggs_spark.kernel.constants import WGS84_003
+from rhealpixdggs_spark.operators.multimodal import (
+    attach_payload,
+    byte_features,
+    decode_image,
+    resize_image,
+    sample_frames,
+)
+from rhealpixdggs_spark.operators.raster import (
+    cells_to_raster,
+    raster_grid,
+    raster_to_cells,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "a" * 40), (2, ""), (3, "sparkly bytes here")],
+        ["doc_id", "text"],
+    )
+    return attach_payload(docs)
+
+
+class TestMultimodal:
+    def test_schema(self, media):
+        assert dict(media.dtypes)["payload"] == "binary"
+        assert "struct" in dict(media.dtypes)["meta"]
+
+    def test_byte_features_exact(self, media):
+        rows = {r.doc_id: r for r in byte_features(media).collect()}
+        b = b"hello world"
+        assert rows[0].n_bytes == len(b)
+        assert rows[0].first_byte == b[0]
+        assert rows[0].mean_byte == pytest.approx(sum(b) / len(b))
+        assert sum(rows[0].hist16) == len(b)
+        assert rows[2].n_bytes == 0 and rows[2].first_byte == -1
+
+    def test_frame_sampling(self, media):
+        out = sample_frames(media, frame_size=16, every_k=3).collect()
+        d1 = sorted(
+            [r for r in out if r.doc_id == 1], key=lambda r: r.frame_idx
+        )
+        # 40 bytes -> frames 0,1,2 -> keep 0 only (every 3rd).
+        assert [r.frame_idx for r in d1] == [0]
+        assert d1[0].frame_len == 16
+        assert d1[0].frame_sum == 16 * ord("a")
+        assert bytes(d1[0].frame) == b"a" * 16
+
+    def test_fake_decode_deterministic(self, media):
+        out = {r.doc_id: r for r in decode_image(media).collect()}
+        r = out[0]
+        assert r.decoded_by == "fake"
+        b = np.frombuffer(b"hello world", dtype=np.uint8)
+        px = np.resize(b, (r.height, r.width))
+        assert r.mean_px == pytest.approx(float(px.mean()))
+
+    def test_resize_is_marked_stub(self, media):
+        with pytest.raises(NotImplementedError):
+            resize_image(media, 8, 8)
+
+
+class TestRaster:
+    def test_grid_pixel_centers(self, spark):
+        g = raster_grid(spark, 144, 72)
+        assert g.count() == 144 * 72
+        r0 = g.where(F.col("pixel_id") == 0).first()
+        assert r0.lon == -180.0 + 1.25 and r0.lat == 90.0 - 1.25
+
+    def test_raster_to_cells_partitions_all_pixels(self, spark):
+        g = raster_grid(spark, 144, 72)
+        agg = raster_to_cells(g, res=1)
+        rows = agg.collect()
+        assert sum(r.n_pixels for r in rows) == 144 * 72  # no pixel lost
+        assert all(len(r.cell_id) == 2 for r in rows)
+
+    def test_raster_roundtrip_against_kernel(self, spark):
+        g = raster_grid(spark, 144, 72).where(F.col("pixel_id") < 500)
+        agg = {r.cell_id: r.n_pixels for r in raster_to_cells(g, res=1).collect()}
+        lon = np.array([-180.0 + (c * 2 + 1) * 1.25 for c in range(144)])[
+            np.arange(500) % 144
+        ]
+        lat = np.array([90.0 - (r * 2 + 1) * 1.25 for r in range(4)])[
+            np.arange(500) // 144
+        ]
+        kern = KC.encode(WGS84_003, lon, lat, 1, plane=False)
+        import collections
+
+        exp = collections.Counter(kern)
+        assert agg == dict(exp)
+
+    def test_cells_to_raster_paints_only_selected(self, spark):
+        g = raster_grid(spark, 144, 72)
+        tiles = spark.createDataFrame([("N4",), ("O0",)], ["cell_id"])
+        out = cells_to_raster(g, tiles, res=1)
+        got = set(r.cell_id for r in out.select("cell_id").distinct().collect())
+        assert got == {"N4", "O0"}
+        # painted pixel count equals the per-cell pixel census
+        census = {
+            r.cell_id: r.n_pixels
+            for r in raster_to_cells(g, res=1).collect()
+            if r.cell_id in got
+        }
+        assert out.count() == sum(census.values())
