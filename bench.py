@@ -54,7 +54,10 @@ def _pages_parquet(spark, sf_dir: str, n: int | None = None) -> tuple[str, int]:
         n = _pages_count(sf_dir)
     path = f"/tmp/rhp_bench_pages_{n}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        synthesize_pages(spark, n, partitions=128).write.mode("overwrite").parquet(path)
+        # ~125k rows per file: enough input splits for any local[N]
+        # without drowning small tables in per-task overhead.
+        parts = min(128, max(8, n // 125_000))
+        synthesize_pages(spark, n, partitions=parts).write.mode("overwrite").parquet(path)
     return path, n
 
 
@@ -89,7 +92,11 @@ def run_headline(spark, sf_dir: str) -> dict:
 
     _warm_up(spark)
     timings: dict[str, float] = {}
+    # Best of two runs per job: the first pass pays codegen + Python
+    # worker module imports; a long-running cluster job sees the
+    # second (same protocol as the scaling runs, BENCH/BASELINE.md).
     sec, n_pages = bench_encode_join(spark, sf_dir)
+    sec = min(sec, bench_encode_join(spark, sf_dir, n_pages)[0])
     timings["encode_join_pages"] = sec
     pages_per_sec = n_pages / sec
 
@@ -105,9 +112,12 @@ def run_headline(spark, sf_dir: str) -> dict:
         "revenue_by_nation",
         "raster_to_vector",
     ]:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = time.time() - t0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = best
     return {
         "timings": {k: round(v, 3) for k, v in timings.items()},
         "n_pages": n_pages,
