@@ -815,6 +815,31 @@ def _q_streaming_window(spark, sf_dir):
     )
 
 
+def _q_hex7_cross_index(spark, sf_dir):
+    """Triple cross-index: rHEALPix res-9 suid + S2 level-12 id +
+    hex7 (H3-style aperture-7, kernel/hex7.py) res-9 id per point,
+    rolled up per (rhp res-2 tile, hex7 res-2 parent). The hex7 parent
+    is pure bitwise int64 column math (no Python). Rows-only check:
+    the icosahedral gnomonic encode is not expressible in SQL; kernel
+    invariants are covered by tests/test_kernel_hex7.py."""
+    from rhealpixdggs_spark.functions.hex7_udfs import (
+        hex7_encode,
+        hex7_parent,
+        hex7_token,
+    )
+
+    pts = _points(spark, sf_dir)
+    enc = pts.select(
+        "pid",
+        rhp_encode(F.col("lon"), F.col("lat"), 9).alias("cell_id"),
+        hex7_encode(F.col("lon"), F.col("lat"), 9).alias("hex7_id"),
+    )
+    return enc.groupBy(
+        F.substring("cell_id", 1, 3).alias("tile_id"),
+        hex7_token(hex7_parent(F.col("hex7_id"), 2)).alias("hex7_l2"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Opaque binary payloads -> byte features via Arrow mapInPandas
     (multimodal plumbing; codec stubbed per environment)."""
@@ -894,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linetrace": _q_linetrace,
         "neighbors": _q_neighbors,
         "streaming_window": _q_streaming_window,
+        "hex7_cross_index": _q_hex7_cross_index,
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
         "image_decode": _q_image_decode,

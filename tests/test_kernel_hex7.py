@@ -1,0 +1,154 @@
+"""hex7 (H3-style aperture-7 icosahedral hex index) invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rhealpixdggs_spark.kernel import hex7 as H
+
+
+@pytest.fixture(scope="module")
+def pts():
+    rng = np.random.default_rng(7)
+    n = 20000
+    lon = rng.uniform(-180, 180, n)
+    lat = np.rad2deg(np.arcsin(rng.uniform(-1, 1, n)))  # area-uniform
+    return lon, lat
+
+
+class TestIcosahedron:
+    def test_twenty_faces_unit_bases(self):
+        assert H.FACES.shape == (20, 3)
+        assert np.allclose(np.linalg.norm(H.FACE_N, axis=1), 1)
+        assert np.allclose((H.FACE_E1 * H.FACE_N).sum(1), 0, atol=1e-12)
+        assert np.allclose((H.FACE_E1 * H.FACE_E2).sum(1), 0, atol=1e-12)
+
+    def test_face_partition_covers_sphere(self, pts):
+        lon, lat = pts
+        c = H.encode(lon, lat, 0)
+        faces = H.unpack(c)[0]
+        assert set(np.unique(faces)) == set(range(20))
+
+
+class TestGBT:
+    def test_digit_set_complete_residue_system(self):
+        # all pairwise digit differences are non-divisible by u (norm 7)
+        for i in range(7):
+            for j in range(i + 1, 7):
+                da = H.DIGITS[i] - H.DIGITS[j]
+                norm = da[0] ** 2 - da[0] * da[1] + da[1] ** 2
+                assert norm % 7 != 0
+
+    def test_peel_build_roundtrip(self):
+        rng = np.random.default_rng(3)
+        za = rng.integers(-10000, 10000, 500)
+        zb = rng.integers(-10000, 10000, 500)
+        for res in [1, 4, 9]:
+            digs, z0a, z0b = H._peel_digits(za.copy(), zb.copy(), res)
+            ra, rb = H._build_z(z0a, z0b, digs)
+            assert (ra == za).all() and (rb == zb).all()
+
+
+class TestEncode:
+    def test_cell_count_growth(self, pts):
+        lon, lat = pts
+        prev = 0
+        for res in [0, 1, 2, 3]:
+            n = len(np.unique(H.encode(lon, lat, res)))
+            assert n > prev
+            prev = n
+
+    def test_roundtrip_center(self, pts):
+        lon, lat = pts
+        # face-interior cells roundtrip exactly; edge-straddling hexes
+        # are face-split by design (module docstring), and coarser
+        # cells straddle more often.
+        for res, min_interior in [(2, 0.85), (5, 0.97), (8, 0.995)]:
+            c = np.unique(H.encode(lon, lat, res))
+            clon, clat = H.cell_center(c)
+            c2 = H.encode(clon, clat, res)
+            same_face = H.unpack(c)[0] == H.unpack(c2)[0]
+            assert (c[same_face] == c2[same_face]).all()
+            assert same_face.mean() > min_interior
+
+    def test_parent_is_exact_in_lattice(self, pts):
+        lon, lat = pts
+        c9 = H.encode(lon, lat, 9)
+        p6 = H.parent(c9, 6)
+        # parent keeps face, base hex and the 6 coarsest digits; only
+        # the res field and truncated digit slots change
+        f9, _, a9, b9 = H.unpack(c9)
+        f6, r6, a6, b6 = H.unpack(p6)
+        assert (f9 == f6).all() and (a9 == a6).all() and (b9 == b6).all()
+        assert (r6 == 6).all()
+        assert np.array_equal(H._digits_of(p6, 6), H._digits_of(c9, 9)[:, 3:])
+        # spatial agreement with direct re-encode is the Gosper-flake
+        # fraction (~0.55-0.75 over 3 levels), not 1.0 — hex
+        # hierarchies are not perfectly nested (same as H3).
+        c6 = H.encode(lon, lat, 6)
+        agree = (p6 == c6).mean()
+        assert 0.4 < agree < 1.0
+
+    def test_parent_genealogy_consistent(self, pts):
+        lon, lat = pts
+        c9 = H.encode(lon, lat, 9)
+        assert (H.parent(H.parent(c9, 7), 5) == H.parent(c9, 5)).all()
+
+    def test_kring_sizes_and_symmetry(self, pts):
+        lon, lat = pts
+        c = np.unique(H.encode(lon[:2000], lat[:2000], 5))[:60]
+        r1 = H.k_ring(c, 1)
+        assert r1.shape[1] == 7
+        r2 = H.k_ring(c, 2)
+        assert r2.shape[1] == 19
+        for i in range(len(c)):
+            assert len(np.unique(r1[i])) == 7
+            for b in r1[i]:
+                if b != c[i]:
+                    assert c[i] in set(H.k_ring(np.array([b]), 1)[0])
+
+    def test_cell_areas_bounded_spread(self, pts):
+        # equal-area is NOT claimed (gnomonic distortion), but the
+        # spread at a fixed res should be modest: population counts of
+        # area-uniform points per res-2 cell within ~6x min-max.
+        lon, lat = pts
+        c = H.encode(lon, lat, 0)
+        _, counts = np.unique(c, return_counts=True)
+        big = counts[counts >= 20]  # exclude edge-split sliver cells
+        assert len(big) > 50
+        assert big.max() / big.min() < 12
+
+
+class TestSparkLayer:
+    def test_udfs_and_bitwise_parent(self, spark, pts):
+        from rhealpixdggs_spark.functions.hex7_udfs import (
+            hex7_encode,
+            hex7_face,
+            hex7_parent,
+            hex7_resolution,
+            hex7_token,
+        )
+
+        lon, lat = pts
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lon[:500], lat[:500])],
+            ["lon", "lat"],
+        )
+        out = df.select(
+            hex7_encode(F.col("lon"), F.col("lat"), 9).alias("cell")
+        ).select(
+            "cell",
+            hex7_parent(F.col("cell"), 4).alias("p4"),
+            hex7_resolution(F.col("cell")).alias("res"),
+            hex7_face(F.col("cell")).alias("face"),
+            hex7_token(F.col("cell")).alias("tok"),
+        )
+        rows = out.collect()
+        kern = H.encode(lon[:500], lat[:500], 9)
+        assert np.array_equal(np.array([r.cell for r in rows]), kern)
+        assert np.array_equal(
+            np.array([r.p4 for r in rows]), H.parent(kern, 4)
+        )
+        assert all(r.res == 9 for r in rows)
+        assert all(0 <= r.face < 20 for r in rows)
+        assert all(len(r.tok) == 16 for r in rows)
