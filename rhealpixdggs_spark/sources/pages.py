@@ -206,3 +206,28 @@ def extract_geotags(pages: DataFrame) -> DataFrame:
         lat_s.cast("double").alias("lat"),
         lon_s.cast("double").alias("lon"),
     )
+
+
+def write_pages_by_tile(
+    pages_encoded: DataFrame, path: str, tile_res: int = 2
+) -> None:
+    """Physical layout for the 100 TB pages table: hive-partitioned by
+    the res-`tile_res` cell prefix, so tile-scoped queries prune whole
+    directories at planning time (dynamic/static partition pruning,
+    SURVEY.md section 4.2) and per-tile joins co-locate without a
+    shuffle of the big side. Expects a `cell_id` column (encode_pages
+    output); rows without a cell land in tile '_none'."""
+    out = pages_encoded.withColumn(
+        "tile_prefix",
+        F.coalesce(
+            F.substring("cell_id", 1, tile_res + 1), F.lit("_none")
+        ),
+    )
+    out.write.mode("overwrite").partitionBy("tile_prefix").parquet(path)
+
+
+def read_pages_tile(spark, path: str, tile_prefix: str) -> DataFrame:
+    """Partition-pruned scan: the filter on the partition column never
+    touches non-matching directories (verify with .explain:
+    PartitionFilters / 'partitions read')."""
+    return spark.read.parquet(path).where(F.col("tile_prefix") == tile_prefix)

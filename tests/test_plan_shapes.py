@@ -1,0 +1,109 @@
+"""Physical-plan shape checks for the newer operators: the plan the
+optimizer picks IS the scale contract (SURVEY.md section 4.2), so we
+pin it — one shuffle for zonal stats, broadcast for tile painting, no
+Python in the bitwise hex7 hierarchy ops."""
+
+from pyspark.sql import functions as F
+
+from rhealpixdggs_spark.operators.raster import (
+    cells_to_raster,
+    raster_grid,
+    raster_to_cells,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestRasterPlans:
+    def test_raster_to_cells_single_shuffle(self, spark):
+        plan = _plan(raster_to_cells(raster_grid(spark, 144, 72), res=1))
+        assert plan.count("Exchange") == 1  # only the per-cell agg
+        assert plan.count("ArrowEvalPython") == 1  # one encode pass
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+    def test_cells_to_raster_broadcasts_tiles(self, spark):
+        tiles = spark.createDataFrame([("N4",), ("O0",)], ["cell_id"])
+        plan = _plan(cells_to_raster(raster_grid(spark, 144, 72), tiles, res=1))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestHex7Plans:
+    def test_parent_and_metadata_ops_stay_jvm_side(self, spark):
+        from rhealpixdggs_spark.functions.hex7_udfs import (
+            hex7_face,
+            hex7_parent,
+            hex7_resolution,
+            hex7_token,
+        )
+
+        cells = spark.range(100).select((F.col("id") + (9 << 58)).alias("cell"))
+        out = cells.select(
+            hex7_parent(F.col("cell"), 3).alias("p"),
+            hex7_resolution(F.col("cell")).alias("r"),
+            hex7_face(F.col("cell")).alias("f"),
+            hex7_token(F.col("cell")).alias("t"),
+        )
+        plan = _plan(out)
+        assert "EvalPython" not in plan  # pure bitwise column math
+        assert "*(1)" in plan  # inside a whole-stage-codegen stage
+
+
+class TestHierarchyPlans:
+    def test_rhp_hierarchy_ops_stay_jvm_side(self, spark):
+        from rhealpixdggs_spark.functions.udfs import (
+            rhp_base_cell,
+            rhp_center_child,
+            rhp_is_valid_col,
+            rhp_parent,
+            rhp_resolution,
+        )
+
+        cells = spark.createDataFrame([("N12345",), ("S00110",)], ["cell_id"])
+        out = cells.select(
+            rhp_parent(F.col("cell_id"), 2).alias("p"),
+            rhp_center_child(F.col("cell_id"), 7).alias("c"),
+            rhp_is_valid_col(F.col("cell_id")).alias("v"),
+            rhp_resolution(F.col("cell_id")).alias("r"),
+            rhp_base_cell(F.col("cell_id")).alias("b"),
+        )
+        plan = _plan(out)
+        assert "EvalPython" not in plan
+
+
+class TestPartitionPruning:
+    def test_tile_partitioned_layout_prunes_directories(self, spark, tmp_path):
+        from rhealpixdggs_spark.pipeline import encode_pages
+        from rhealpixdggs_spark.sources.pages import (
+            read_pages_tile,
+            synthesize_pages,
+            write_pages_by_tile,
+        )
+
+        pages = synthesize_pages(spark, 2000, partitions=4)
+        enc = encode_pages(pages, resolution=9)
+        path = str(tmp_path / "pages_by_tile")
+        write_pages_by_tile(enc, path, tile_res=1)
+
+        all_tiles = [
+            r.tile_prefix
+            for r in spark.read.parquet(path).select("tile_prefix").distinct().collect()
+        ]
+        target = sorted(t for t in all_tiles if t != "_none")[0]
+        df = read_pages_tile(spark, path, target)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the partition filter reaches the scan; no row-level filter on
+        # the partition column survives
+        assert "PartitionFilters: [isnotnull(tile_prefix" in plan
+        # and the scan's file index selected a single directory
+        n_sel = df.select(F.input_file_name()).distinct().count()
+        import os
+
+        files_in_target = sum(
+            f.endswith(".parquet")
+            for f in os.listdir(os.path.join(path, f"tile_prefix={target}"))
+        )
+        assert n_sel == files_in_target
+        assert df.count() > 0
