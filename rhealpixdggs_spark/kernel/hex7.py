@@ -185,9 +185,16 @@ def _digits_of(cell, res):
 
 
 def encode(lon_deg, lat_deg, res: int) -> np.ndarray:
-    """(lon, lat) degrees -> hex7 cell id at resolution res."""
+    """(lon, lat) degrees -> hex7 cell id at resolution res.
+    Non-finite inputs yield -1 (the null sentinel for UDF wrappers)."""
     assert 0 <= res <= MAX_RES
-    p = _unit_vectors(lon_deg, lat_deg)
+    lon_a = np.asarray(lon_deg, dtype=np.float64)
+    lat_a = np.asarray(lat_deg, dtype=np.float64)
+    bad = ~(np.isfinite(lon_a) & np.isfinite(lat_a))
+    if bad.any():
+        lon_a = np.where(bad, 0.0, lon_a)
+        lat_a = np.where(bad, 0.0, lat_a)
+    p = _unit_vectors(lon_a, lat_a)
     face = np.argmax(p @ FACE_N.T, axis=1)
     n, e1, e2 = FACE_N[face], FACE_E1[face], FACE_E2[face]
     t = (p * n).sum(1)
@@ -196,7 +203,10 @@ def encode(lon_deg, lat_deg, res: int) -> np.ndarray:
     w = c * U_C**res
     za, zb = _hex_round(w)
     digs, z0a, z0b = _peel_digits(za, zb, res)
-    return _pack(face, res, np.clip(z0a, -8, 7), np.clip(z0b, -8, 7), digs)
+    out = _pack(face, res, np.clip(z0a, -8, 7), np.clip(z0b, -8, 7), digs)
+    if bad.any():
+        out = np.where(bad, np.int64(-1), out)
+    return out
 
 
 def cell_center(cell) -> tuple[np.ndarray, np.ndarray]:

@@ -107,3 +107,45 @@ class TestPartitionPruning:
         )
         assert n_sel == files_in_target
         assert df.count() > 0
+
+
+class TestSqlApi:
+    def test_registered_functions_match_column_api(self, spark):
+        from rhealpixdggs_spark.functions.sql_api import register_sql_functions
+        from rhealpixdggs_spark.functions.udfs import rhp_encode
+        from rhealpixdggs_spark.kernel import hex7 as H7
+        from rhealpixdggs_spark.kernel import s2 as S2
+        import numpy as np
+
+        register_sql_functions(spark)
+        pts = spark.createDataFrame(
+            [(1, 10.0, 20.0), (2, -100.0, -40.0), (3, 179.9, 85.0), (4, None, 5.0)],
+            ["id", "lon", "lat"],
+        )
+        pts.createOrReplaceTempView("pts_sql_api")
+        rows = spark.sql(
+            """SELECT id, rhp_encode(lon, lat, 7) AS c,
+                      rhp_encode(lon, lat, id) AS cv,
+                      rhp_encode_idx(lon, lat, 7) AS ci,
+                      rhp_nucleus(rhp_encode(lon, lat, 2)).lon AS nlon,
+                      hex7_encode(lon, lat, 6) AS h7,
+                      s2_encode(lon, lat, 12) AS s2
+               FROM pts_sql_api ORDER BY id"""
+        ).collect()
+        col = {
+            r.id: r.cell
+            for r in pts.select(
+                "id", rhp_encode(F.col("lon"), F.col("lat"), 7).alias("cell")
+            ).collect()
+        }
+        for r in rows:
+            assert r.c == col[r.id]
+            if r.id == 4:
+                assert r.c is None and r.ci is None and r.h7 is None
+            else:
+                assert len(r.cv) == r.id + 1  # variable-resolution arg
+                assert r.ci is not None
+        lon = np.array([10.0, -100.0, 179.9])
+        lat = np.array([20.0, -40.0, 85.0])
+        assert [r.h7 for r in rows[:3]] == H7.encode(lon, lat, 6).tolist()
+        assert [r.s2 for r in rows[:3]] == S2.cell_id_from_lonlat(lon, lat, 12).tolist()
