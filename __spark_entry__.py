@@ -815,6 +815,68 @@ def _q_streaming_window(spark, sf_dir):
     )
 
 
+def _q_tpch_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analogue: top-10 unshipped orders by revenue for one
+    market segment."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(rev)
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q_tpch_returned_items(spark, sf_dir):
+    """TPC-H Q10 analogue: top-20 customers by returned-item revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev)
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _q_linetrace_many(spark, sf_dir):
+    """Distributed linetrace: one short linestring per supplier,
+    walked in parallel across rows (operators/tiling.linetrace_df).
+    Rows-only check; the walk kernel is golden-tested against the
+    reference (tests/test_kernel_regions.py)."""
+    from rhealpixdggs_spark.operators.tiling import linetrace_df
+
+    pts = _points(spark, sf_dir, "supplier")
+    lines = pts.select(
+        F.col("pid").alias("line_id"),
+        F.array(
+            F.struct((F.col("lon") * 0.9).alias("lon"), (F.col("lat") * 0.9).alias("lat")),
+            F.struct((F.col("lon") * 0.9 + 3.0).alias("lon"), (F.col("lat") * 0.9 + 1.5).alias("lat")),
+            F.struct((F.col("lon") * 0.9 + 6.0).alias("lon"), (F.col("lat") * 0.9 - 1.5).alias("lat")),
+        ).alias("line"),
+    )
+    return linetrace_df(lines, res=2)
+
+
 def _q_hex7_cross_index(spark, sf_dir):
     """Triple cross-index: rHEALPix res-9 suid + S2 level-12 id +
     hex7 (H3-style aperture-7, kernel/hex7.py) res-9 id per point,
@@ -920,6 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors": _q_neighbors,
         "streaming_window": _q_streaming_window,
         "hex7_cross_index": _q_hex7_cross_index,
+        "tpch_shipping_priority": _q_tpch_shipping_priority,
+        "tpch_returned_items": _q_tpch_returned_items,
+        "linetrace_many": _q_linetrace_many,
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
         "image_decode": _q_image_decode,
@@ -1249,6 +1314,31 @@ def oracle_sql() -> dict[str, str]:
                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
               FROM u a JOIN u b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cos FROM d WHERE cos >= 0.999e0
+        """,
+        "tpch_shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < '1995-03-15'
+              AND l_shipdate > '1995-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10
+        """,
+        "tpch_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "streaming_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -116,3 +116,34 @@ def compress_cells_df(cells: DataFrame, cell_col: str = "cell_id",
         )
         out = merged.unionByName(parents.select(F.col("parent").alias("cell_id")))
     return out
+
+
+def linetrace_df(
+    lines: DataFrame,
+    res: int,
+    cfg: DggsConfig = WGS84_003,
+    line_col: str = "line",
+    plane: bool = False,
+) -> DataFrame:
+    """Distributed linetrace (dggs.py:1096-1179 walk, parallel across
+    lines): `line_col` is array<struct<lon,lat>>; output appends
+    (seq, cell_id) rows per input row. Each line's neighbor walk is
+    inherently sequential, so parallelism comes from the row axis —
+    the right decomposition for millions of small geometries."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _trace(col: pd.Series) -> pd.Series:
+        out = []
+        for coords in col:
+            if coords is None or len(coords) < 2:
+                out.append([])
+                continue
+            pts = [(float(p["lon"]), float(p["lat"])) for p in coords]
+            out.append([str(c) for c in KR.linetrace(cfg, [pts], res, plane=plane)])
+        return pd.Series(out, index=col.index, dtype=object)
+
+    traced = lines.withColumn("_cells", _trace.asNondeterministic()(F.col(line_col)))
+    return traced.select(
+        *[c for c in lines.columns if c != line_col],
+        F.posexplode("_cells").alias("seq", "cell_id"),
+    )
