@@ -1368,12 +1368,17 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS frame_sum
             FROM f WHERE fi % 3 = 0
         """,
-        # kring_sizes / cell_geometry / minhash_sig / simhash /
-        # s2_cross_index are intentionally omitted: ring walks,
-        # ellipsoidal inverse projection, xxhash64 and the S2 Hilbert
-        # tables are not expressible in DuckDB SQL; the driver records
-        # rows-only checks and pytest covers their values against the
-        # reference oracle.
+        # Intentionally rows-only (no SQL twin): kring_sizes,
+        # cell_geometry, neighbors (ring walks / ellipsoidal inverse
+        # ordering), minhash_sig, simhash, minhash_lsh_pairs,
+        # simhash_pairs (Spark-seeded xxhash64), s2_cross_index,
+        # hex7_cross_index (Hilbert tables / icosahedral gnomonic),
+        # lsh_cosine_topk (random-projection buckets), polyfill,
+        # region_cover, zone_from_poly, linetrace, linetrace_many
+        # (polar centroid quadrature + neighbor walks), image_decode
+        # (fake-codec stub). None are SQL-expressible in DuckDB; the
+        # driver records rows-only checks and pytest pins their values
+        # against reference golden fixtures (tests/test_kernel_*).
     }
 
 
