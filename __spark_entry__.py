@@ -485,6 +485,9 @@ RASTER144_SQL = (
 PIP_OUTER = [(-30.137, -20.211), (40.149, -25.313), (45.151, 30.017), (-25.139, 35.021)]
 PIP_HOLE = [(0.0005, 0.0007), (10.0005, 1.0007), (9.0005, 10.0007), (-0.9995, 9.0007)]
 
+# Second convex zone for the polygon spatial join (off-lattice verts).
+PIP_ZONE2 = [(60.123, -10.317), (110.149, -5.211), (105.151, 35.017), (55.139, 30.021)]
+
 # Ellipsoidal polygon for polyfill / zone / cover demos (lon/lat ring).
 EURO_RING = [(-10.0, 36.0), (25.0, 34.0), (30.0, 58.0), (-8.0, 60.0)]
 
@@ -627,6 +630,22 @@ def _q_pip_polygon(spark, sf_dir):
     ).select("pid", "lon", "lat")
 
 
+def _q_polygon_join(spark, sf_dir):
+    """Point-in-polygon spatial join against a polygon table: bbox
+    cell-cover prefilter (broadcast) + one vectorized even-odd refine
+    pass (operators/joins.polygon_join). Oracle: independent half-plane
+    algebra per convex zone."""
+    from rhealpixdggs_spark.operators.joins import polygon_join
+
+    pts = _points(spark, sf_dir)
+    out = polygon_join(
+        pts,
+        [("z1", PIP_OUTER, [PIP_HOLE]), ("z2", PIP_ZONE2, [])],
+        res=3,
+    )
+    return out.select("pid", "lon", "lat", "zone")
+
+
 def _q_raster_to_vector(spark, sf_dir):
     """Raster -> vector tile assignment (north_star): global 0.5-degree
     pixel grid -> res-3 zonal statistics, generated distributed from
@@ -741,6 +760,18 @@ def _q_region_cover(spark, sf_dir):
         for ci, cell in enumerate(row)
     ]
     return spark.createDataFrame(rows, ["row_i", "col_i", "cell_id"])
+
+
+def _q_region_cover_planar(spark, sf_dir):
+    """Distributed closed-form planar cover (operators/tiling.
+    region_cover_df): spark.range over the corner cells' row/col spans
+    + one planar-encode pass — no neighbor walk, scales to planet-size
+    covers. Rows-only; pinned against the kernel matrix in
+    tests/test_plan_shapes.py."""
+    from rhealpixdggs_spark.operators.tiling import region_cover_df
+
+    R = WGS84_003.R_A
+    return region_cover_df(spark, 4, (-0.2 * R, 0.4 * R), (0.5 * R, -0.1 * R))
 
 
 def _q_zone_from_poly(spark, sf_dir):
@@ -968,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_cell_agg": _q_salted_cell_agg,
         "knn_adaptive": _q_knn_adaptive,
         "pip_polygon": _q_pip_polygon,
+        "polygon_join": _q_polygon_join,
         "raster_to_vector": _q_raster_to_vector,
         "vector_to_raster": _q_vector_to_raster,
         "dedup_groups": _q_dedup_groups,
@@ -977,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "polyfill": _q_polyfill,
         "region_cover": _q_region_cover,
+        "region_cover_planar": _q_region_cover_planar,
         "zone_from_poly": _q_zone_from_poly,
         "linetrace": _q_linetrace,
         "neighbors": _q_neighbors,
@@ -1276,6 +1309,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT pid, lon, lat FROM pts
             WHERE {_convex_inside_sql(PIP_OUTER)}
               AND NOT {_convex_inside_sql(PIP_HOLE)}
+        """,
+        "polygon_join": f"""
+            WITH pts AS ({ORDERS_POINTS_SQL})
+            SELECT pid, lon, lat, 'z1' AS zone FROM pts
+            WHERE {_convex_inside_sql(PIP_OUTER)}
+              AND NOT {_convex_inside_sql(PIP_HOLE)}
+            UNION ALL
+            SELECT pid, lon, lat, 'z2' AS zone FROM pts
+            WHERE {_convex_inside_sql(PIP_ZONE2)}
         """,
         "raster_to_vector": f"""
             WITH enc AS MATERIALIZED ({rhp_encode_sql(RASTER720_SQL, 3, keep_cols="pid, value")})

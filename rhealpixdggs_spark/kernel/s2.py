@@ -92,9 +92,13 @@ def _face_uv(x, y, z):
 
 
 def _st_from_uv(u):
-    """Quadratic projection: uniform cell areas to within ~2.1x."""
+    """Quadratic projection: uniform cell areas to within ~2.1x.
+    Both branches are evaluated by np.where, so clamp each sqrt
+    argument to keep the unselected branch from raising on |u|>1/3."""
     return np.where(
-        u >= 0, 0.5 * np.sqrt(1 + 3 * u), 1 - 0.5 * np.sqrt(1 - 3 * u)
+        u >= 0,
+        0.5 * np.sqrt(np.maximum(1 + 3 * u, 0.0)),
+        1 - 0.5 * np.sqrt(np.maximum(1 - 3 * u, 0.0)),
     )
 
 

@@ -16,6 +16,8 @@ Catalyst already knows how to optimize:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -270,3 +272,71 @@ def knn_join_rings_adaptive(
     for p in parts[1:]:
         result = result.unionByName(p)
     return result
+
+
+def polygon_join(
+    points: DataFrame,
+    polygons: list,
+    res: int = 3,
+    cfg: DggsConfig = WGS84_003,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Point-in-polygon spatial join against a (small) polygon table —
+    the north-star "point-in-polygon tests against tile boundaries"
+    as a two-phase plan:
+
+      1. prefilter: each polygon's bbox is covered with res-`res`
+         cells (kernel cells_from_region, driver-side — polygon counts
+         are tiny next to the pages table); the candidate (zone,
+         cell_id) table broadcasts and equi-joins against the points'
+         encoded cell — at 100 TB this prunes the scan to the
+         polygons' neighborhoods with no shuffle of the big side;
+      2. refine: one Arrow pass of the even-odd ray-crossing kernel,
+         vectorized per zone inside a single pandas UDF (no per-zone
+         rescan).
+
+    `polygons` is a list of (zone, exterior_ring, holes) with rings as
+    [(lon, lat), ...]. Returns the matching points with a `zone`
+    column; points in several zones appear once per zone.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.udfs import rhp_encode
+    from ..kernel import regions as KR
+
+    spark = points.sparkSession
+    rows = []
+    lookup = {}
+    for zone, ext, holes in polygons:
+        lookup[zone] = (
+            [(float(x), float(y)) for x, y in ext],
+            [[(float(x), float(y)) for x, y in h] for h in holes],
+        )
+        xs = [p[0] for p in ext]
+        ys = [p[1] for p in ext]
+        cover = KR.cells_from_region(
+            cfg, res, (min(xs), max(ys)), (max(xs), min(ys)), plane=False
+        )
+        rows += [(zone, str(c)) for row in cover for c in row]
+    cand = spark.createDataFrame(rows, ["zone", "cell_id"]).distinct()
+
+    @pandas_udf(T.BooleanType())
+    def _pip_zone(lo: pd.Series, la: pd.Series, zo: pd.Series) -> pd.Series:
+        out = np.zeros(len(lo), dtype=bool)
+        lon = lo.to_numpy(np.float64)
+        lat = la.to_numpy(np.float64)
+        for z in zo.unique():
+            m = (zo == z).to_numpy()
+            ext, holes = lookup[z]
+            out[m] = KR.points_in_polygon(lon[m], lat[m], ext, holes)
+        return pd.Series(out, index=lo.index)
+
+    enc = points.withColumn(
+        "cell_id", rhp_encode(F.col(lon_col), F.col(lat_col), res, cfg)
+    )
+    joined = enc.join(F.broadcast(cand), "cell_id")
+    return joined.where(
+        _pip_zone.asNondeterministic()(F.col(lon_col), F.col(lat_col), F.col("zone"))
+    ).drop("cell_id")

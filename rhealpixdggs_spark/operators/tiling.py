@@ -147,3 +147,47 @@ def linetrace_df(
         *[c for c in lines.columns if c != line_col],
         F.posexplode("_cells").alias("seq", "cell_id"),
     )
+
+
+def region_cover_df(
+    spark: SparkSession,
+    res: int,
+    nw: tuple[float, float],
+    se: tuple[float, float],
+    cfg: DggsConfig = WGS84_003,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed closed-form planar region cover (the SURVEY section
+    2.6 plan): planar res-k cells form a regular lattice over the
+    rHEALPix image, so the cover of a planar rect is a 2D spark.range
+    cross of the corner cells' row/col spans — no neighbor walking, no
+    driver loop. Cell centers outside the image (beyond the polar
+    squares) encode to null and are filtered.
+
+    Matches the kernel/reference cells_from_region planar matrix
+    (dggs.py:1181-1297 semantics) row-major as (row_i, col_i, cell_id);
+    scales to covers of any size (e.g. a whole-planet res-9 cover is
+    2.3e9 rows of pure column math + one encode pass)."""
+    import math
+
+    from ..functions.udfs import rhp_encode
+
+    w = cfg.cell_width(res)
+    x_min, y_max = cfg.R_A * -np.pi, cfg.R_A * (3 * np.pi / 4)
+    col0 = math.floor((nw[0] - x_min) / w)
+    col1 = math.floor((se[0] - x_min) / w)
+    row0 = math.floor((y_max - nw[1]) / w)
+    row1 = math.floor((y_max - se[1]) / w)
+    ncols = col1 - col0 + 1
+    nrows = row1 - row0 + 1
+    grid = spark.range(0, nrows * ncols, numPartitions=partitions).select(
+        (F.col("id") / ncols).cast("long").alias("row_i"),
+        (F.col("id") % ncols).alias("col_i"),
+    )
+    x = F.lit(x_min) + (F.col("col_i") + col0 + F.lit(0.5)) * F.lit(w)
+    y = F.lit(y_max) - (F.col("row_i") + row0 + F.lit(0.5)) * F.lit(w)
+    return grid.select(
+        "row_i",
+        "col_i",
+        rhp_encode(x, y, res, cfg, plane=True).alias("cell_id"),
+    ).where(F.col("cell_id").isNotNull())

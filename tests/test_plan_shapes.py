@@ -149,3 +149,44 @@ class TestSqlApi:
         lat = np.array([20.0, -40.0, 85.0])
         assert [r.h7 for r in rows[:3]] == H7.encode(lon, lat, 6).tolist()
         assert [r.s2 for r in rows[:3]] == S2.cell_id_from_lonlat(lon, lat, 12).tolist()
+
+
+class TestRegionCoverDf:
+    def test_matches_kernel_matrix(self, spark):
+        from rhealpixdggs_spark.kernel import regions as KR
+        from rhealpixdggs_spark.kernel.constants import WGS84_003
+        from rhealpixdggs_spark.operators.tiling import region_cover_df
+
+        R = WGS84_003.R_A
+        nw = (-0.2 * R, 0.4 * R)
+        se = (0.5 * R, -0.1 * R)
+        mat = KR.cells_from_region(WGS84_003, 4, nw, se, plane=True)
+        expected = {
+            (ri, ci, str(c))
+            for ri, row in enumerate(mat)
+            for ci, c in enumerate(row)
+        }
+        got = {
+            (r.row_i, r.col_i, r.cell_id)
+            for r in region_cover_df(spark, 4, nw, se).collect()
+        }
+        assert got == expected
+
+    def test_polar_overflow_cells_filtered(self, spark):
+        from rhealpixdggs_spark.kernel.constants import WGS84_003
+        from rhealpixdggs_spark.operators.tiling import region_cover_df
+
+        R = WGS84_003.R_A
+        import numpy as np
+
+        # rect straddling the north polar square's right edge: cells
+        # outside the image (right of the N square, above the
+        # equatorial band) must drop out, not crash
+        nw = (-0.9 * np.pi * R, 0.6 * np.pi * R)
+        se = (0.2 * np.pi * R, 0.3 * np.pi * R)
+        rows = region_cover_df(spark, 3, nw, se).collect()
+        assert len(rows) > 0
+        assert all(r.cell_id.startswith("N") for r in rows)
+        # and some (row, col) positions of the requested rect are gone
+        span = (max(r.row_i for r in rows) + 1) * (max(r.col_i for r in rows) + 1)
+        assert len(rows) < span or max(r.col_i for r in rows) > 0
