@@ -59,6 +59,7 @@ from rhealpixdggs_spark.oracle_sql import (
     ORDERS_POINTS_SQL,
     rhp_encode_sql,
     rhp_nucleus_sql,
+    rhp_xy_range_sql,
 )
 
 from rhealpixdggs_spark.kernel.constants import WGS84_003  # noqa: E402
@@ -248,6 +249,27 @@ def _q_cell_nucleus(spark, sf_dir):
         "cell_id",
         F.round(nuc["lon"], 9).alias("n_lon"),
         F.round(nuc["lat"], 9).alias("n_lat"),
+    )
+
+
+def _q_cell_xy_range(spark, sf_dir):
+    """Planar bbox decode (Cell.xy_range, cell.py:734-754) — the
+    range-join key for mixed-resolution planar containment; SQL twin
+    re-derives the ul-vertex digit sums independently."""
+    from rhealpixdggs_spark.functions.udfs import rhp_xy_range
+
+    tiles = (
+        _points(spark, sf_dir, "customer")
+        .select(rhp_encode(F.col("lon"), F.col("lat"), 2).alias("cell_id"))
+        .distinct()
+    )
+    xr = rhp_xy_range(F.col("cell_id"))
+    return tiles.select(
+        "cell_id",
+        F.round(xr["x_min"], 4).alias("x_min"),
+        F.round(xr["x_max"], 4).alias("x_max"),
+        F.round(xr["y_min"], 4).alias("y_min"),
+        F.round(xr["y_max"], 4).alias("y_max"),
     )
 
 
@@ -976,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kring_sizes": _q_kring_sizes,
         "cell_geometry": _q_cell_geometry,
         "cell_nucleus": _q_cell_nucleus,
+        "cell_xy_range": _q_cell_xy_range,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1178,6 +1201,11 @@ def oracle_sql() -> dict[str, str]:
         "cell_nucleus": f"""
             SELECT cell_id, round(n_lon, 9) AS n_lon, round(n_lat, 9) AS n_lat
             FROM ({rhp_nucleus_sql(f"SELECT DISTINCT cell_id FROM ({cust2})", 2)})
+        """,
+        "cell_xy_range": f"""
+            SELECT cell_id, round(x_min, 4) AS x_min, round(x_max, 4) AS x_max,
+                   round(y_min, 4) AS y_min, round(y_max, 4) AS y_max
+            FROM ({rhp_xy_range_sql(f"SELECT DISTINCT cell_id FROM ({cust2})", 2)})
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "dedup_exact": """

@@ -355,3 +355,31 @@ def point_in_polygon_col(
     # Nondeterministic marker prevents Catalyst from duplicating the
     # UDF into inferred filters (same guard as the geometry UDFs).
     return _pip.asNondeterministic()(lon, lat)
+
+
+def rhp_xy_range(cell_id: Column, cfg: DggsConfig = WGS84_003) -> Column:
+    """suid -> planar bbox struct (Cell.xy_range, cell.py:734-754) —
+    the range-join key for mixed-resolution planar containment."""
+    ret = T.StructType(
+        [
+            T.StructField("x_min", T.DoubleType()),
+            T.StructField("x_max", T.DoubleType()),
+            T.StructField("y_min", T.DoubleType()),
+            T.StructField("y_max", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(ret)
+    def _dec(ids: pd.Series) -> pd.DataFrame:
+        cols = {
+            k: pd.Series(np.nan, index=ids.index, dtype=np.float64)
+            for k in ("x_min", "x_max", "y_min", "y_max")
+        }
+        for idx, arr in _group_by_length(ids):
+            face, digits = KC.parse_suids(arr)
+            x0, x1, y0, y1 = KC.xy_range(cfg, face, digits)
+            for k, v in zip(cols, (x0, x1, y0, y1)):
+                cols[k][idx] = np.asarray(v)
+        return pd.DataFrame(cols)
+
+    return _dec.asNondeterministic()(cell_id)

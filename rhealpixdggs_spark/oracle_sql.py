@@ -313,3 +313,48 @@ CUSTOMER_POINTS_SQL = (
     "((c_custkey * 7919) % 178000) / 1000.0 - 89.0 AS lat "
     "FROM customer"
 )
+
+
+def rhp_xy_range_sql(cells_sql: str, res: int) -> str:
+    """SQL twin of Cell.xy_range for uniform-resolution suids:
+    ul-vertex digit sums (cell.py:483-531) then +/- the folded cell
+    width — same float op order as the kernel."""
+    w0 = _R * (math.pi / 2)
+    w = w0 * 3.0 ** (-res)
+    inv_scale = _r(3.0 ** (-res))
+    ulx = {
+        0: _r(_R * -math.pi), 1: _r(_R * -math.pi), 2: _r(_R * (-math.pi / 2)),
+        3: _r(_R * 0.0), 4: _r(_R * (math.pi / 2)), 5: _r(_R * -math.pi),
+    }
+    uly = {
+        0: _r(_R * (3 * math.pi / 4)), 1: _r(_R * (math.pi / 4)),
+        2: _r(_R * (math.pi / 4)), 3: _r(_R * (math.pi / 4)),
+        4: _r(_R * (math.pi / 4)), 5: _r(_R * (-math.pi / 4)),
+    }
+    dy_terms = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) // 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    dx_terms = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) % 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    return f"""
+WITH cells AS MATERIALIZED ({cells_sql}),
+x0 AS (SELECT cell_id,
+  CASE substr(cell_id, 1, 1) WHEN 'N' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2
+       WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END AS face,
+  ({dy_terms}) AS dy_int, ({dx_terms}) AS dx_int
+  FROM cells),
+x1 AS (SELECT cell_id,
+  (CASE face WHEN 0 THEN {ulx[0]} WHEN 1 THEN {ulx[1]} WHEN 2 THEN {ulx[2]}
+             WHEN 3 THEN {ulx[3]} WHEN 4 THEN {ulx[4]} ELSE {ulx[5]} END
+   + {_r(w0)} * (dx_int * {inv_scale})) AS x_min,
+  (CASE face WHEN 0 THEN {uly[0]} WHEN 1 THEN {uly[1]} WHEN 2 THEN {uly[2]}
+             WHEN 3 THEN {uly[3]} WHEN 4 THEN {uly[4]} ELSE {uly[5]} END
+   - {_r(w0)} * (dy_int * {inv_scale})) AS y_max
+  FROM x0)
+SELECT cell_id, x_min, x_min + {_r(w)} AS x_max,
+       y_max - {_r(w)} AS y_min, y_max
+FROM x1
+"""
