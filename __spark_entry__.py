@@ -176,6 +176,32 @@ def _q_containment_join(spark, sf_dir):
     )
 
 
+def _q_containment_packed(spark, sf_dir):
+    """Containment join on packed int64 level-order keys
+    (operators/joins.containment_join_idx): res-5 points roll up to
+    res-2 tiles by integer division — no strings in the shuffle. The
+    SQL twin re-derives the level-order index arithmetically from the
+    suid (cell.py:262-267)."""
+    from rhealpixdggs_spark.functions.udfs import rhp_encode_index
+    from rhealpixdggs_spark.operators.joins import containment_join_idx
+
+    pts = _points(spark, sf_dir).withColumn(
+        "cell_idx", rhp_encode_index(F.col("lon"), F.col("lat"), 5)
+    )
+    tiles = (
+        _points(spark, sf_dir, "customer")
+        .select(
+            rhp_encode_index(F.col("lon"), F.col("lat"), 2).alias("tile_idx")
+        )
+        .distinct()
+    )
+    return (
+        containment_join_idx(pts, tiles, point_res=5, tile_res=2)
+        .groupBy("tile_idx")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
 def _q_topk_cells(spark, sf_dir):
     pts = _points(spark, sf_dir)
     enc = pts.withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 3))
@@ -992,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_rollup": _q_parent_rollup,
         "cell_metrics": _q_cell_metrics,
         "containment_join": _q_containment_join,
+        "containment_packed": _q_containment_packed,
         "topk_cells": _q_topk_cells,
         "knn_brute": _q_knn_brute,
         "knn_rings": _q_knn_rings,
@@ -1190,6 +1217,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.tile_id, count(*) AS n_points
             FROM enc e JOIN tiles t ON substr(e.cell_id, 1, 3) = t.tile_id
             GROUP BY t.tile_id
+        """,
+        "containment_packed": f"""
+            WITH enc AS MATERIALIZED ({enc5}),
+            cust AS MATERIALIZED ({cust2}),
+            tiles AS (SELECT DISTINCT cell_id FROM cust),
+            p AS (SELECT substr(cell_id, 1, 3) AS t FROM enc)
+            SELECT (60 + (CASE substr(t,1,1) WHEN 'N' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2 WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END) * 81 + CAST(substr(t,2,1) AS BIGINT) * 9 + CAST(substr(t,3,1) AS BIGINT)) AS tile_idx, count(*) AS n_points
+            FROM p JOIN tiles ON p.t = tiles.cell_id
+            GROUP BY 1
         """,
         "topk_cells": f"""
             WITH enc AS ({enc3}),

@@ -340,3 +340,27 @@ def polygon_join(
     return joined.where(
         _pip_zone.asNondeterministic()(F.col(lon_col), F.col(lat_col), F.col("zone"))
     ).drop("cell_id")
+
+
+def containment_join_idx(
+    points: DataFrame,
+    tiles: DataFrame,
+    point_res: int,
+    tile_res: int,
+    point_idx: str = "cell_idx",
+    tile_idx: str = "tile_idx",
+    how: str = "inner",
+    broadcast_tiles: bool = True,
+    cfg: DggsConfig = WGS84_003,
+) -> DataFrame:
+    """Hierarchy containment on packed int64 level-order keys (the
+    scale path): a res-r tile contains a res-p point iff the integer
+    parent of the point's index equals the tile's index — pure integer
+    div column math (rhp_index_parent), an 8-byte join key instead of
+    a suid string. Equivalent range form: point_idx BETWEEN
+    first_child(tile) AND last_child(tile) on the same keys."""
+    from ..functions.udfs import rhp_index_parent
+
+    key = rhp_index_parent(F.col(point_idx), point_res, tile_res, cfg)
+    t = F.broadcast(tiles) if broadcast_tiles else tiles
+    return points.join(t, key == F.col(tile_idx), how)
