@@ -981,6 +981,67 @@ def _q_hex7_cross_index(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_sessionize(spark, sf_dir):
+    """Sessionization over the events stream table: a session breaks
+    after a 30-minute gap per user (lag + running sum of
+    session-start flags + per-session aggregate)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("ns", new_sess).withColumn("session_id", F.sum("ns").over(run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Exact streaming dedup via applyInPandasWithState
+    (streaming/stateful.py): the documents table (with planted
+    byte-identical copies) replayed as a file stream; one row per
+    distinct fingerprint survives. The batch oracle is DISTINCT
+    (md5(text), lang) — copies share both, so the first-seen row is
+    order-independent."""
+    import tempfile
+    import uuid
+
+    from rhealpixdggs_spark.streaming.stateful import streaming_first_seen_dedup
+
+    docs = _docs_with_dups(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id",
+        "left",
+    )
+    # planted copies (doc_id >= 100000) inherit the original's lang
+    src_df = docs.withColumn(
+        "lang",
+        F.coalesce(
+            F.col("lang"),
+            F.first("lang").over(Window.partitionBy(F.md5("text"))),
+        ),
+    ).select(F.md5("text").alias("fp"), "lang")
+    src_dir = tempfile.mkdtemp(prefix="rhp_sdedup_src_")
+    src_df.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema("fp string, lang string").parquet(src_dir)
+    out = streaming_first_seen_dedup(stream, key_col="fp", keep_cols=("lang",))
+    name = "rhp_sdedup_" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rhp_sdedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("fp", "lang")
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Opaque binary payloads -> byte features via Arrow mapInPandas
     (multimodal plumbing; codec stubbed per environment)."""
@@ -1064,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linetrace": _q_linetrace,
         "neighbors": _q_neighbors,
         "streaming_window": _q_streaming_window,
+        "sessionize": _q_sessionize,
+        "streaming_dedup": _q_streaming_dedup,
         "hex7_cross_index": _q_hex7_cross_index,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
         "tpch_returned_items": _q_tpch_returned_items,
@@ -1451,6 +1514,30 @@ def oracle_sql() -> dict[str, str]:
                      AS window_start, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            f AS (SELECT *, CASE WHEN prev IS NULL
+                   OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS ns
+                  FROM o),
+            s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM f)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
+        "streaming_dedup": """
+            WITH u AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+              WHERE doc_id % 5 = 0)
+            SELECT DISTINCT md5(text) AS fp, lang FROM u
         """,
         "multimodal_features": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
