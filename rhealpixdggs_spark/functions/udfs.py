@@ -257,7 +257,7 @@ def rhp_k_ring(cell_id: Column, k: int, cfg: DggsConfig = WGS84_003) -> Column:
     @pandas_udf(T.ArrayType(T.StringType()))
     def _kr(ids: pd.Series) -> pd.Series:
         return pd.Series(
-            [KN.k_ring(cfg, s, k) if s is not None else None for s in ids],
+            KN.k_ring_batch(cfg, ids.to_numpy(dtype=object), k),
             index=ids.index,
             dtype=object,
         )

@@ -434,6 +434,43 @@ def k_ring(cfg: DggsConfig, suid: str, k: int = 1) -> list[str] | None:
 
 
 def k_ring_batch(cfg: DggsConfig, suids: np.ndarray, k: int) -> list[list[str]]:
-    """k_ring for a batch of suids. The in-face fast path covers the
-    bulk of a uniform batch; stragglers take the per-cell walk."""
-    return [k_ring(cfg, s, k) if s is not None else None for s in suids]
+    """k_ring for a batch of suids. Cells whose whole disk stays inside
+    their face vectorize as (2k+1)^2 rowcol offsets (one from_rowcol
+    call per offset across the whole sub-batch, same walk order as the
+    scalar path); border cells fall back to the per-cell face-crossing
+    walk. At tile-table scale the interior path covers almost all
+    cells (border fraction ~ 4k/side)."""
+    arr = np.asarray(suids, dtype=object)
+    out: list = [None] * len(arr)
+    by_res: dict[int, list[int]] = {}
+    for i, s in enumerate(arr):
+        if s is not None:
+            by_res.setdefault(len(s) - 1, []).append(i)
+    for res, idxs in by_res.items():
+        side = cfg.N_side**res
+        if k <= 0 or res == 0 or k > side - 1:
+            for i in idxs:
+                out[i] = k_ring(cfg, str(arr[i]), k)
+            continue
+        sub = np.array([str(arr[i]) for i in idxs])
+        face, digits = parse_suids(sub)
+        row, col = rowcol(cfg, digits)
+        interior = (
+            (row >= k) & (row <= side - 1 - k) & (col >= k) & (col <= side - 1 - k)
+        )
+        idx_arr = np.array(idxs)
+        if interior.any():
+            f_m, r_m, c_m = face[interior], row[interior], col[interior]
+            offsets = [(0, 0)] + [
+                tuple(o) for d in range(1, k + 1) for o in _ring_offsets(d)
+            ]
+            cols_out = []
+            for dr, dc in offsets:
+                digs = from_rowcol(cfg, f_m, r_m + dr, c_m + dc, res)
+                cols_out.append(suid_strings(f_m, digs))
+            mat = np.stack(cols_out, axis=1)
+            for j, i in enumerate(idx_arr[interior]):
+                out[i] = mat[j].tolist()
+        for i in idx_arr[~interior]:
+            out[i] = k_ring(cfg, str(arr[i]), k)
+    return out

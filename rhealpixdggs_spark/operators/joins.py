@@ -204,6 +204,7 @@ def knn_join_rings(
     query_cols=("q_lon", "q_lat"),
     query_id: str = "query_id",
     cfg: DggsConfig = WGS84_003,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Scale-path kNN: expand each query's cell to its k_ring at the
     index resolution (k_ring, rhp_wrappers.py:471-507), equi-join the
@@ -221,7 +222,10 @@ def knn_join_rings(
         .withColumn(point_cell, F.explode("_ring"))
         .drop("_ring")
     )
-    joined = points.join(F.broadcast(cand_cells), point_cell)
+    # Large query tables: pass broadcast_queries=False so the
+    # candidate join shuffles on cell_id instead of broadcasting.
+    cand = F.broadcast(cand_cells) if broadcast_queries else cand_cells
+    joined = points.join(cand, point_cell)
     d2 = _chord_dist2(
         F.col(point_cols[0]), F.col(point_cols[1]),
         F.col(query_cols[0]), F.col(query_cols[1]), cfg,

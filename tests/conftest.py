@@ -18,8 +18,10 @@ def ref():
     return r
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same seeded stream, so test
+    # data does not depend on execution order or selection.
     return np.random.default_rng(42)
 
 

@@ -14,13 +14,24 @@ This file is TEST-ONLY; the engine itself never imports the reference.
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
 
 
+def _mod(name: str) -> types.ModuleType:
+    """Stub module with a real ModuleSpec: importlib.util.find_spec
+    on an installed stub must not raise (pyspark.testing probes
+    scipy/numpy at SparkSession creation and ValueErrors on
+    __spec__ = None)."""
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def _install_stubs():
     if "pyproj" not in sys.modules:
-        pyproj = types.ModuleType("pyproj")
+        pyproj = _mod("pyproj")
         pyproj.get_ellps_map = lambda: {
             "WGS84": {"a": 6378137.0, "rf": 298.257223563},
             "sphere": {"a": 6371000.0},
@@ -34,8 +45,8 @@ def _install_stubs():
         sys.modules["pyproj"] = pyproj
 
     if "matplotlib" not in sys.modules:
-        mpl = types.ModuleType("matplotlib")
-        mpath = types.ModuleType("matplotlib.path")
+        mpl = _mod("matplotlib")
+        mpath = _mod("matplotlib.path")
 
         class Path:
             def __init__(self, vertices):
@@ -61,8 +72,8 @@ def _install_stubs():
         sys.modules["matplotlib.path"] = mpath
 
     if "scipy" not in sys.modules:
-        scipy = types.ModuleType("scipy")
-        integrate = types.ModuleType("scipy.integrate")
+        scipy = _mod("scipy")
+        integrate = _mod("scipy.integrate")
 
         def _dblquad(*a, **k):  # pragma: no cover
             raise RuntimeError("scipy unavailable in sandbox")
@@ -73,8 +84,8 @@ def _install_stubs():
         sys.modules["scipy.integrate"] = integrate
 
     if "shapely" not in sys.modules:
-        shapely = types.ModuleType("shapely")
-        geometry = types.ModuleType("shapely.geometry")
+        shapely = _mod("shapely")
+        geometry = _mod("shapely.geometry")
         for name in (
             "Point",
             "Polygon",
