@@ -1000,6 +1000,20 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+def _q_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (Spark
+    `percentile` == DuckDB `quantile_cont`); the sketch-based
+    approx path (approx_count_distinct / approx_percentile) runs in
+    the pages pipeline where exactness is traded for one pass."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def _q_streaming_dedup(spark, sf_dir):
     """Exact streaming dedup via applyInPandasWithState
     (streaming/stateful.py): the documents table (with planted
@@ -1126,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors": _q_neighbors,
         "streaming_window": _q_streaming_window,
         "sessionize": _q_sessionize,
+        "value_quantiles": _q_value_quantiles,
         "streaming_dedup": _q_streaming_dedup,
         "hex7_cross_index": _q_hex7_cross_index,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
@@ -1530,6 +1545,13 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    round(sum(value), 4) AS sum_value
             FROM s GROUP BY 1, 2
+        """,
+        "value_quantiles": """
+            SELECT event_type, count(*) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
         """,
         "streaming_dedup": """
             WITH u AS (
