@@ -190,3 +190,19 @@ class TestRegionCoverDf:
         # and some (row, col) positions of the requested rect are gone
         span = (max(r.row_i for r in rows) + 1) * (max(r.col_i for r in rows) + 1)
         assert len(rows) < span or max(r.col_i for r in rows) > 0
+
+
+class TestGridScale:
+    def test_res6_grid_generates_distributed(self, spark):
+        """3.19M cells from spark.range + the index codec — no driver
+        materialization, no successor chain (SURVEY 2.4)."""
+        from rhealpixdggs_spark.kernel.constants import WGS84_003
+        from rhealpixdggs_spark.operators.tiling import grid
+
+        g = grid(spark, 6, partitions=32)
+        assert g.count() == 6 * 9**6
+        lo = WGS84_003.num_cells(0, 5)
+        row = g.where(F.col("cell_idx") == lo).first()
+        assert row.cell_id == "N000000"
+        hi = g.agg(F.max("cell_idx")).first()[0]
+        assert hi == lo + 6 * 9**6 - 1
