@@ -59,6 +59,7 @@ from rhealpixdggs_spark.oracle_sql import (
     ORDERS_POINTS_SQL,
     rhp_encode_sql,
     rhp_nucleus_sql,
+    rhp_vertices_pivot_sql,
     rhp_xy_range_sql,
 )
 
@@ -276,6 +277,29 @@ def _q_cell_nucleus(spark, sf_dir):
         F.round(nuc["lon"], 9).alias("n_lon"),
         F.round(nuc["lat"], 9).alias("n_lat"),
     )
+
+
+def _q_cell_boundary_quads(spark, sf_dir):
+    """Full 4-corner ellipsoidal boundary decode for equatorial (quad)
+    cells, where rhp_to_geo_boundary's NW-first ring is exactly
+    ul,ur,dr,dl (cell.py:590-592): every corner checked against an
+    independently generated inverse-projection SQL pipeline."""
+    from rhealpixdggs_spark.functions.udfs import rhp_boundary
+
+    cells = (
+        _points(spark, sf_dir)
+        .select(rhp_encode(F.col("lon"), F.col("lat"), 2).alias("cell_id"))
+        .where(F.substring("cell_id", 1, 1).isin("O", "P", "Q", "R"))
+        .distinct()
+    )
+    b = rhp_boundary(F.col("cell_id"))
+    cols = ["cell_id"]
+    sel = [F.col("cell_id")]
+    for i, nm in enumerate(["ul", "ur", "dr", "dl"]):
+        sel.append(F.round(b[i]["lon"], 9).alias(f"{nm}_lon"))
+        sel.append(F.round(b[i]["lat"], 9).alias(f"{nm}_lat"))
+        cols += [f"{nm}_lon", f"{nm}_lat"]
+    return cells.select(*sel)
 
 
 def _q_cell_xy_range(spark, sf_dir):
@@ -1101,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_geometry": _q_cell_geometry,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
+        "cell_boundary_quads": _q_cell_boundary_quads,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1316,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_id, round(n_lon, 9) AS n_lon, round(n_lat, 9) AS n_lat
             FROM ({rhp_nucleus_sql(f"SELECT DISTINCT cell_id FROM ({cust2})", 2)})
         """,
+        "cell_boundary_quads": _boundary_quads_oracle_sql(),
         "cell_xy_range": f"""
             SELECT cell_id, round(x_min, 4) AS x_min, round(x_max, 4) AS x_max,
                    round(y_min, 4) AS y_min, round(y_max, 4) AS y_max
@@ -1595,6 +1621,25 @@ def oracle_sql() -> dict[str, str]:
         # driver records rows-only checks and pytest pins their values
         # against reference golden fixtures (tests/test_kernel_*).
     }
+
+
+def _boundary_quads_oracle_sql() -> str:
+    enc2 = rhp_encode_sql(ORDERS_POINTS_SQL, 2)
+    cells = (
+        f"WITH e AS MATERIALIZED ({enc2}) "
+        "SELECT DISTINCT cell_id FROM e "
+        "WHERE substr(cell_id, 1, 1) IN ('O','P','Q','R')"
+    )
+    pick = ", ".join(
+        f"round(max(CASE WHEN nm = '{nm}' THEN v_{ax} END), 9) AS {nm}_{ax}"
+        for nm in ("ul", "ur", "dr", "dl")
+        for ax in ("lon", "lat")
+    )
+    return f"""
+        WITH v AS MATERIALIZED ({rhp_vertices_pivot_sql(cells, 2)})
+        SELECT cell_id, {pick}
+        FROM v GROUP BY cell_id
+    """
 
 
 def _interval_oracle_sql() -> str:

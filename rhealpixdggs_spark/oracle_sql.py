@@ -358,3 +358,231 @@ SELECT cell_id, x_min, x_min + {_r(w)} AS x_max,
        y_max - {_r(w)} AS y_min, y_max
 FROM x1
 """
+
+
+def rhp_vertex_sql(cells_sql: str, res: int, corner: str) -> str:
+    """SQL twin of one ellipsoidal cell corner (Cell.vertices,
+    cell.py:655-732) for uniform-resolution suids: ul-vertex digit
+    math with the corner offset (ul/ur/dr/dl), then the same inverse
+    pipeline as rhp_nucleus_sql. For equatorial (quad) cells the
+    NW-first ordering of rhp_to_geo_boundary is exactly ul,ur,dr,dl
+    (cell.py:590-592). Outputs (cell_id, v_lon, v_lat)."""
+    i2, i4, i6, i8, i10, i12 = map(_r, _series_coeffs_inverse(_E))
+    pi = _r(_PI)
+    p12 = _r(_PI / 2)
+    p14 = _r(_PI / 4)
+    a34 = _r(-3 * _PI / 4)
+    eps = "1e-15"
+    rad2deg = _r(np_rad2deg_const())
+    w0 = _R * (_PI / 2)
+    w = _r(WGS84_003.cell_width(res))
+    inv_scale = _r(3.0 ** (-res))
+    dx_off, dy_off = {
+        "ul": ("", ""),
+        "ur": (f" + {w}", ""),
+        "dr": (f" + {w}", f" - {w}"),
+        "dl": ("", f" - {w}"),
+    }[corner]
+    ulx = {
+        0: _r(_R * -math.pi), 1: _r(_R * -math.pi), 2: _r(_R * (-math.pi / 2)),
+        3: _r(_R * 0.0), 4: _r(_R * (math.pi / 2)), 5: _r(_R * -math.pi),
+    }
+    uly = {
+        0: _r(_R * (3 * math.pi / 4)), 1: _r(_R * (math.pi / 4)),
+        2: _r(_R * (math.pi / 4)), 3: _r(_R * (math.pi / 4)),
+        4: _r(_R * (math.pi / 4)), 5: _r(_R * (-math.pi / 4)),
+    }
+    dy_terms = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) // 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    dx_terms = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) % 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    An1 = _r(-3 * _PI / 4 + (0 - 1) * _PI / 2)
+    An2 = _r(-3 * _PI / 4 + (0 + 1) * _PI / 2)
+    As1 = _r(-3 * _PI / 4 + (0 + 1) * _PI / 2)
+    As2 = _r(-3 * _PI / 4 + (0 - 1) * _PI / 2)
+    return f"""
+WITH cells AS MATERIALIZED ({cells_sql}),
+d0 AS (SELECT cell_id,
+  CASE substr(cell_id, 1, 1) WHEN 'N' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2
+       WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END AS face,
+  ({dy_terms}) AS dy_int, ({dx_terms}) AS dx_int
+  FROM cells),
+d1 AS (SELECT cell_id,
+  (CASE face WHEN 0 THEN {ulx[0]} WHEN 1 THEN {ulx[1]} WHEN 2 THEN {ulx[2]}
+             WHEN 3 THEN {ulx[3]} WHEN 4 THEN {ulx[4]} ELSE {ulx[5]} END
+   + {_r(w0)} * (dx_int * {inv_scale}){dx_off}) / {_r(_R)} AS x,
+  (CASE face WHEN 0 THEN {uly[0]} WHEN 1 THEN {uly[1]} WHEN 2 THEN {uly[2]}
+             WHEN 3 THEN {uly[3]} WHEN 4 THEN {uly[4]} ELSE {uly[5]} END
+   - {_r(w0)} * (dy_int * {inv_scale}){dy_off}) / {_r(_R)} AS y
+  FROM d0),
+d2 AS (SELECT cell_id, x, y,
+  CASE WHEN y > {p14} THEN 1 WHEN y < -{p14} THEN 2 ELSE 0 END AS region
+  FROM d1),
+d3 AS (SELECT cell_id, x, y, region,
+  CASE WHEN region = 1 THEN
+    (CASE WHEN y < (x - {An1}) - {eps} AND y >= (-x + {An2}) - {eps} THEN 1
+          WHEN y >= (x - {An1}) - {eps} AND y > (-x + {An2}) + {eps} THEN 2
+          WHEN y > (x - {An1}) + {eps} AND y <= (-x + {An2}) + {eps} THEN 3
+          ELSE 0 END)
+  WHEN region = 2 THEN
+    (CASE WHEN y <= (x - {As1}) + {eps} AND y > (-x + {As2}) + {eps} THEN 1
+          WHEN y < (x - {As1}) - {eps} AND y <= (-x + {As2}) + {eps} THEN 2
+          WHEN y >= (x - {As1}) - {eps} AND y < (-x + {As2}) - {eps} THEN 3
+          ELSE 0 END)
+  ELSE -1 END AS c
+  FROM d2),
+d4 AS (SELECT cell_id, region, c,
+  x - {a34} AS dx0,
+  CASE WHEN region = 1 THEN y - {p12} ELSE y + {p12} END AS dy0,
+  CASE WHEN region = 1 THEN (4 - c) % 4 ELSE c % 4 END AS t,
+  x AS hx0, y AS hy0
+  FROM d3),
+d5 AS (SELECT cell_id,
+  CASE WHEN region = 0 THEN hx0 ELSE
+    (CASE t WHEN 0 THEN dx0 WHEN 1 THEN -dy0 WHEN 2 THEN -dx0 ELSE dy0 END)
+    + ({a34} + {p12}*c) END AS hx,
+  CASE WHEN region = 0 THEN hy0 ELSE
+    (CASE t WHEN 0 THEN dy0 WHEN 1 THEN dx0 WHEN 2 THEN -dy0 ELSE -dx0 END)
+    + (CASE WHEN region = 1 THEN {p12} ELSE -{p12} END) END AS hy
+  FROM d4),
+d6 AS (SELECT cell_id, hx, hy, abs(hy) AS ay,
+  {a34} + {p12}*least(floor(2*hx/{pi} + 2), 3) AS xc
+  FROM d5),
+d7 AS (SELECT cell_id,
+  CASE WHEN ay <= {p14} THEN hx
+       WHEN ay < {p12} THEN
+         greatest(least(xc + (hx - xc)/(2 - (4*ay)/{pi}), {pi}), -{pi})
+       ELSE -{pi} END AS lam,
+  CASE WHEN ay <= {p14} THEN asin((8*hy)/{_r(3 * _PI)})
+       WHEN ay < {p12} THEN
+         sign(hy) * asin(1 - ((2 - (4*ay)/{pi})*(2 - (4*ay)/{pi}))/3)
+       ELSE sign(hy) * {p12} END AS beta
+  FROM d6),
+d8 AS (SELECT cell_id, lam,
+  beta + ({i2}*sin(2*beta) + {i4}*sin(4*beta) + {i6}*sin(6*beta)
+        + {i8}*sin(8*beta) + {i10}*sin(10*beta) + {i12}*sin(12*beta)) AS phi
+  FROM d7),
+d9 AS (SELECT cell_id, lam * {rad2deg} AS lon_d, phi * {rad2deg} AS lat_d FROM d8)
+SELECT cell_id,
+  CASE WHEN lon_d >= 180 THEN lon_d - 360
+       WHEN lon_d < -180 THEN lon_d + 360 ELSE lon_d END AS v_lon,
+  lat_d AS v_lat
+FROM d9
+"""
+
+
+def rhp_vertices_pivot_sql(cells_sql: str, res: int) -> str:
+    """All four ellipsoidal corners (Cell.vertices, cell.py:655-732)
+    in ONE inverse pipeline: cells cross-joined with a 4-row corner
+    offset table, then the rhp_vertex_sql stages once. Adding the
+    literal 0e0 offset for the ul corner is exact (x + 0.0 == x for
+    finite planar coords), so op order matches the kernel. A single
+    pipeline avoids the exponential expression inlining DuckDB's
+    optimizer does on a 4-way join of per-corner pipelines. Output:
+    (cell_id, nm, v_lon, v_lat), nm in ul/ur/dr/dl."""
+    i2, i4, i6, i8, i10, i12 = map(_r, _series_coeffs_inverse(_E))
+    pi = _r(_PI)
+    p12 = _r(_PI / 2)
+    p14 = _r(_PI / 4)
+    a34 = _r(-3 * _PI / 4)
+    eps = "1e-15"
+    rad2deg = _r(np_rad2deg_const())
+    w0 = _R * (_PI / 2)
+    w = _r(WGS84_003.cell_width(res))
+    inv_scale = _r(3.0 ** (-res))
+    ulx = {
+        0: _r(_R * -math.pi), 1: _r(_R * -math.pi), 2: _r(_R * (-math.pi / 2)),
+        3: _r(_R * 0.0), 4: _r(_R * (math.pi / 2)), 5: _r(_R * -math.pi),
+    }
+    uly = {
+        0: _r(_R * (3 * math.pi / 4)), 1: _r(_R * (math.pi / 4)),
+        2: _r(_R * (math.pi / 4)), 3: _r(_R * (math.pi / 4)),
+        4: _r(_R * (math.pi / 4)), 5: _r(_R * (-math.pi / 4)),
+    }
+    dy_terms = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) // 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    dx_terms = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) % 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    An1 = _r(-3 * _PI / 4 + (0 - 1) * _PI / 2)
+    An2 = _r(-3 * _PI / 4 + (0 + 1) * _PI / 2)
+    As1 = _r(-3 * _PI / 4 + (0 + 1) * _PI / 2)
+    As2 = _r(-3 * _PI / 4 + (0 - 1) * _PI / 2)
+    return f"""
+WITH corners(nm, dxo, dyo) AS (
+  VALUES ('ul', 0e0, 0e0), ('ur', {w}, 0e0), ('dr', {w}, {w}), ('dl', 0e0, {w})),
+cells AS MATERIALIZED ({cells_sql}),
+d0 AS (SELECT cell_id,
+  CASE substr(cell_id, 1, 1) WHEN 'N' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2
+       WHEN 'Q' THEN 3 WHEN 'R' THEN 4 ELSE 5 END AS face,
+  ({dy_terms}) AS dy_int, ({dx_terms}) AS dx_int
+  FROM cells),
+d1 AS MATERIALIZED (SELECT cell_id, nm,
+  (CASE face WHEN 0 THEN {ulx[0]} WHEN 1 THEN {ulx[1]} WHEN 2 THEN {ulx[2]}
+             WHEN 3 THEN {ulx[3]} WHEN 4 THEN {ulx[4]} ELSE {ulx[5]} END
+   + {_r(w0)} * (dx_int * {inv_scale}) + dxo) / {_r(_R)} AS x,
+  (CASE face WHEN 0 THEN {uly[0]} WHEN 1 THEN {uly[1]} WHEN 2 THEN {uly[2]}
+             WHEN 3 THEN {uly[3]} WHEN 4 THEN {uly[4]} ELSE {uly[5]} END
+   - {_r(w0)} * (dy_int * {inv_scale}) - dyo) / {_r(_R)} AS y
+  FROM d0, corners),
+d2 AS (SELECT cell_id, nm, x, y,
+  CASE WHEN y > {p14} THEN 1 WHEN y < -{p14} THEN 2 ELSE 0 END AS region
+  FROM d1),
+d3 AS (SELECT cell_id, nm, x, y, region,
+  CASE WHEN region = 1 THEN
+    (CASE WHEN y < (x - {An1}) - {eps} AND y >= (-x + {An2}) - {eps} THEN 1
+          WHEN y >= (x - {An1}) - {eps} AND y > (-x + {An2}) + {eps} THEN 2
+          WHEN y > (x - {An1}) + {eps} AND y <= (-x + {An2}) + {eps} THEN 3
+          ELSE 0 END)
+  WHEN region = 2 THEN
+    (CASE WHEN y <= (x - {As1}) + {eps} AND y > (-x + {As2}) + {eps} THEN 1
+          WHEN y < (x - {As1}) - {eps} AND y <= (-x + {As2}) + {eps} THEN 2
+          WHEN y >= (x - {As1}) - {eps} AND y < (-x + {As2}) - {eps} THEN 3
+          ELSE 0 END)
+  ELSE -1 END AS c
+  FROM d2),
+d4 AS (SELECT cell_id, nm, region, c,
+  x - {a34} AS dx0,
+  CASE WHEN region = 1 THEN y - {p12} ELSE y + {p12} END AS dy0,
+  CASE WHEN region = 1 THEN (4 - c) % 4 ELSE c % 4 END AS t,
+  x AS hx0, y AS hy0
+  FROM d3),
+d5 AS (SELECT cell_id, nm,
+  CASE WHEN region = 0 THEN hx0 ELSE
+    (CASE t WHEN 0 THEN dx0 WHEN 1 THEN -dy0 WHEN 2 THEN -dx0 ELSE dy0 END)
+    + ({a34} + {p12}*c) END AS hx,
+  CASE WHEN region = 0 THEN hy0 ELSE
+    (CASE t WHEN 0 THEN dy0 WHEN 1 THEN dx0 WHEN 2 THEN -dy0 ELSE -dx0 END)
+    + (CASE WHEN region = 1 THEN {p12} ELSE -{p12} END) END AS hy
+  FROM d4),
+d6 AS (SELECT cell_id, nm, hx, hy, abs(hy) AS ay,
+  {a34} + {p12}*least(floor(2*hx/{pi} + 2), 3) AS xc
+  FROM d5),
+d7 AS (SELECT cell_id, nm,
+  CASE WHEN ay <= {p14} THEN hx
+       WHEN ay < {p12} THEN
+         greatest(least(xc + (hx - xc)/(2 - (4*ay)/{pi}), {pi}), -{pi})
+       ELSE -{pi} END AS lam,
+  CASE WHEN ay <= {p14} THEN asin((8*hy)/{_r(3 * _PI)})
+       WHEN ay < {p12} THEN
+         sign(hy) * asin(1 - ((2 - (4*ay)/{pi})*(2 - (4*ay)/{pi}))/3)
+       ELSE sign(hy) * {p12} END AS beta
+  FROM d6),
+d8 AS (SELECT cell_id, nm, lam,
+  beta + ({i2}*sin(2*beta) + {i4}*sin(4*beta) + {i6}*sin(6*beta)
+        + {i8}*sin(8*beta) + {i10}*sin(10*beta) + {i12}*sin(12*beta)) AS phi
+  FROM d7),
+d9 AS (SELECT cell_id, nm, lam * {rad2deg} AS lon_d, phi * {rad2deg} AS lat_d FROM d8)
+SELECT cell_id, nm,
+  CASE WHEN lon_d >= 180 THEN lon_d - 360
+       WHEN lon_d < -180 THEN lon_d + 360 ELSE lon_d END AS v_lon,
+  lat_d AS v_lat
+FROM d9
+"""
