@@ -882,6 +882,47 @@ def _q_neighbors(spark, sf_dir):
     return nb
 
 
+def _row_col_cols(res: int):
+    """row/col of a res-`res` suid as native column math (digit div/mod
+    sums) — shared by the interior-cell filter."""
+    row = F.lit(0)
+    col = F.lit(0)
+    for i in range(1, res + 1):
+        d = F.substring("cell_id", i + 1, 1).cast("int")
+        row = row + (d / 3).cast("int") * (3 ** (res - i))
+        col = col + (d % 3) * (3 ** (res - i))
+    return row, col
+
+
+def _q_neighbors_interior(spark, sf_dir):
+    """Planar 4-neighborhood (Cell.neighbor digit walk,
+    cell.py:1224-1345) for face-interior res-3 cells, where the walk
+    must equal rowcol +/- 1 — the SQL twin rebuilds neighbor suids from
+    independent digit arithmetic. Border cells (face-crossing
+    rotations) are covered by kernel tests against reference goldens."""
+    from rhealpixdggs_spark.functions.udfs import rhp_neighbors
+
+    res = 3
+    side = 3**res
+    cells = (
+        _points(spark, sf_dir)
+        .select(rhp_encode(F.col("lon"), F.col("lat"), res).alias("cell_id"))
+        .distinct()
+    )
+    row, col = _row_col_cols(res)
+    interior = cells.where(
+        row.between(1, side - 2) & col.between(1, side - 2)
+    )
+    nb = rhp_neighbors(F.col("cell_id"), plane=True)
+    return interior.select(
+        "cell_id",
+        nb["up"].alias("up"),
+        nb["down"].alias("down"),
+        nb["left"].alias("left"),
+        nb["right"].alias("right"),
+    )
+
+
 def _q_streaming_window(spark, sf_dir):
     """Structured Streaming in the correctness gate: the events table
     replayed through a file-source stream, tumbling 1h window x
@@ -1163,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_from_poly": _q_zone_from_poly,
         "linetrace": _q_linetrace,
         "neighbors": _q_neighbors,
+        "neighbors_interior": _q_neighbors_interior,
         "streaming_window": _q_streaming_window,
         "sessionize": _q_sessionize,
         "value_quantiles": _q_value_quantiles,
@@ -1550,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
+        "neighbors_interior": _neighbors_interior_oracle_sql(),
         "streaming_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                      AS window_start, event_type,
@@ -1639,6 +1682,43 @@ def _boundary_quads_oracle_sql() -> str:
         WITH v AS MATERIALIZED ({rhp_vertices_pivot_sql(cells, 2)})
         SELECT cell_id, {pick}
         FROM v GROUP BY cell_id
+    """
+
+
+
+
+def _neighbors_interior_oracle_sql() -> str:
+    res, side = 3, 27
+    enc3 = rhp_encode_sql(ORDERS_POINTS_SQL, res)
+    row = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) // 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    col = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) % 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+
+    def suid(r, c):
+        digits = " || ".join(
+            f"CAST((({r}) // {3 ** (res - i)}) % 3 * 3 "
+            f"+ (({c}) // {3 ** (res - i)}) % 3 AS VARCHAR)"
+            for i in range(1, res + 1)
+        )
+        return f"substr(cell_id, 1, 1) || {digits}"
+
+    return f"""
+        WITH e AS MATERIALIZED ({enc3}),
+        cells AS (SELECT DISTINCT cell_id FROM e),
+        rc AS MATERIALIZED (
+          SELECT cell_id, ({row}) AS r, ({col}) AS c FROM cells)
+        SELECT cell_id,
+          {suid('r - 1', 'c')} AS up,
+          {suid('r + 1', 'c')} AS down,
+          {suid('r', 'c - 1')} AS "left",
+          {suid('r', 'c + 1')} AS "right"
+        FROM rc
+        WHERE r BETWEEN 1 AND {side - 2} AND c BETWEEN 1 AND {side - 2}
     """
 
 
