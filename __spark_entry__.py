@@ -302,6 +302,24 @@ def _q_cell_boundary_quads(spark, sf_dir):
     return cells.select(*sel)
 
 
+def _q_cell_centroid_quads(spark, sf_dir):
+    """Ellipsoidal centroid for quad cells (cell.py:1087-1090: nucleus
+    lon, mean of the 4 vertex lats) — the polyfill filter's geometry —
+    under the SQL gate via nucleus + pivot-vertices oracles."""
+    tiles = (
+        _points(spark, sf_dir)
+        .select(rhp_encode(F.col("lon"), F.col("lat"), 2).alias("cell_id"))
+        .where(F.substring("cell_id", 1, 1).isin("O", "P", "Q", "R"))
+        .distinct()
+    )
+    c = rhp_centroid(F.col("cell_id"))
+    return tiles.select(
+        "cell_id",
+        F.round(c["lon"], 9).alias("c_lon"),
+        F.round(c["lat"], 9).alias("c_lat"),
+    )
+
+
 def _q_cell_xy_range(spark, sf_dir):
     """Planar bbox decode (Cell.xy_range, cell.py:734-754) — the
     range-join key for mixed-resolution planar containment; SQL twin
@@ -1167,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "cell_boundary_quads": _q_cell_boundary_quads,
+        "cell_centroid_quads": _q_cell_centroid_quads,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1384,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({rhp_nucleus_sql(f"SELECT DISTINCT cell_id FROM ({cust2})", 2)})
         """,
         "cell_boundary_quads": _boundary_quads_oracle_sql(),
+        "cell_centroid_quads": _centroid_quads_oracle_sql(),
         "cell_xy_range": f"""
             SELECT cell_id, round(x_min, 4) AS x_min, round(x_max, 4) AS x_max,
                    round(y_min, 4) AS y_min, round(y_max, 4) AS y_max
@@ -1664,6 +1684,32 @@ def oracle_sql() -> dict[str, str]:
         # driver records rows-only checks and pytest pins their values
         # against reference golden fixtures (tests/test_kernel_*).
     }
+
+
+
+
+def _centroid_quads_oracle_sql() -> str:
+    enc2 = rhp_encode_sql(ORDERS_POINTS_SQL, 2)
+    cells = (
+        f"WITH e AS MATERIALIZED ({enc2}) "
+        "SELECT DISTINCT cell_id FROM e "
+        "WHERE substr(cell_id, 1, 1) IN ('O','P','Q','R')"
+    )
+    return f"""
+        WITH nuc AS MATERIALIZED ({rhp_nucleus_sql("SELECT cell_id FROM base", 2)}),
+        base AS MATERIALIZED ({cells}),
+        v AS MATERIALIZED ({rhp_vertices_pivot_sql("SELECT cell_id FROM base", 2)}),
+        lat4 AS (
+          SELECT cell_id,
+            (((max(CASE WHEN nm = 'ul' THEN v_lat END)
+             + max(CASE WHEN nm = 'ur' THEN v_lat END))
+             + max(CASE WHEN nm = 'dr' THEN v_lat END))
+             + max(CASE WHEN nm = 'dl' THEN v_lat END)) / 4 AS lat_bar
+          FROM v GROUP BY cell_id)
+        SELECT n.cell_id, round(n.n_lon, 9) AS c_lon,
+               round(l.lat_bar, 9) AS c_lat
+        FROM nuc n JOIN lat4 l ON n.cell_id = l.cell_id
+    """
 
 
 def _boundary_quads_oracle_sql() -> str:
