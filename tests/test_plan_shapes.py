@@ -206,3 +206,21 @@ class TestGridScale:
         assert row.cell_id == "N000000"
         hi = g.agg(F.max("cell_idx")).first()[0]
         assert hi == lo + 6 * 9**6 - 1
+
+
+class TestPackedContainmentPlan:
+    def test_int64_keys_and_broadcast(self, spark):
+        from rhealpixdggs_spark.functions.udfs import rhp_encode_index
+        from rhealpixdggs_spark.operators.joins import containment_join_idx
+
+        pts = spark.range(1000).select(
+            (F.col("id") % 360 - 180.0).alias("lon"),
+            (F.col("id") % 170 - 85.0).alias("lat"),
+        ).select(rhp_encode_index(F.col("lon"), F.col("lat"), 5).alias("cell_idx"))
+        tiles = spark.range(60, 546).select(F.col("id").alias("tile_idx"))
+        out = containment_join_idx(pts, tiles, point_res=5, tile_res=2)
+        plan = _plan(out)
+        assert "BroadcastHashJoin [cast(" in plan or "BroadcastHashJoin" in plan
+        # join key is integer math on the packed index, not a string op
+        assert "substring" not in plan.lower()
+        assert out.count() > 0
