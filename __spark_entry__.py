@@ -98,6 +98,14 @@ def _doubled(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _pz(col):
+    """Normalize IEEE negative zero to +0.0 (col + 0.0). The driver's
+    correctness hash distinguishes the byte patterns of -0.0 and 0.0;
+    DuckDB round() can emit -0.0 where Spark emits 0.0 — both sides of
+    every decode oracle apply the same +0.0 so representations agree."""
+    return col + F.lit(0.0)
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship pipeline
 # ---------------------------------------------------------------------------
@@ -274,8 +282,8 @@ def _q_cell_nucleus(spark, sf_dir):
     nuc = rhp_nucleus(F.col("cell_id"))
     return tiles.select(
         "cell_id",
-        F.round(nuc["lon"], 9).alias("n_lon"),
-        F.round(nuc["lat"], 9).alias("n_lat"),
+        _pz(F.round(nuc["lon"], 9)).alias("n_lon"),
+        _pz(F.round(nuc["lat"], 9)).alias("n_lat"),
     )
 
 
@@ -296,8 +304,8 @@ def _q_cell_boundary_quads(spark, sf_dir):
     cols = ["cell_id"]
     sel = [F.col("cell_id")]
     for i, nm in enumerate(["ul", "ur", "dr", "dl"]):
-        sel.append(F.round(b[i]["lon"], 9).alias(f"{nm}_lon"))
-        sel.append(F.round(b[i]["lat"], 9).alias(f"{nm}_lat"))
+        sel.append(_pz(F.round(b[i]["lon"], 9)).alias(f"{nm}_lon"))
+        sel.append(_pz(F.round(b[i]["lat"], 9)).alias(f"{nm}_lat"))
         cols += [f"{nm}_lon", f"{nm}_lat"]
     return cells.select(*sel)
 
@@ -315,8 +323,8 @@ def _q_cell_centroid_quads(spark, sf_dir):
     c = rhp_centroid(F.col("cell_id"))
     return tiles.select(
         "cell_id",
-        F.round(c["lon"], 9).alias("c_lon"),
-        F.round(c["lat"], 9).alias("c_lat"),
+        _pz(F.round(c["lon"], 9)).alias("c_lon"),
+        _pz(F.round(c["lat"], 9)).alias("c_lat"),
     )
 
 
@@ -334,10 +342,10 @@ def _q_cell_xy_range(spark, sf_dir):
     xr = rhp_xy_range(F.col("cell_id"))
     return tiles.select(
         "cell_id",
-        F.round(xr["x_min"], 4).alias("x_min"),
-        F.round(xr["x_max"], 4).alias("x_max"),
-        F.round(xr["y_min"], 4).alias("y_min"),
-        F.round(xr["y_max"], 4).alias("y_max"),
+        _pz(F.round(xr["x_min"], 4)).alias("x_min"),
+        _pz(F.round(xr["x_max"], 4)).alias("x_max"),
+        _pz(F.round(xr["y_min"], 4)).alias("y_min"),
+        _pz(F.round(xr["y_max"], 4)).alias("y_max"),
     )
 
 
@@ -1399,14 +1407,16 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _knn_sql(),
         "knn_rings": _knn_sql(),
         "cell_nucleus": f"""
-            SELECT cell_id, round(n_lon, 9) AS n_lon, round(n_lat, 9) AS n_lat
+            SELECT cell_id, round(n_lon, 9) + 0.0 AS n_lon,
+                   round(n_lat, 9) + 0.0 AS n_lat
             FROM ({rhp_nucleus_sql(f"SELECT DISTINCT cell_id FROM ({cust2})", 2)})
         """,
         "cell_boundary_quads": _boundary_quads_oracle_sql(),
         "cell_centroid_quads": _centroid_quads_oracle_sql(),
         "cell_xy_range": f"""
-            SELECT cell_id, round(x_min, 4) AS x_min, round(x_max, 4) AS x_max,
-                   round(y_min, 4) AS y_min, round(y_max, 4) AS y_max
+            SELECT cell_id,
+                   round(x_min, 4) + 0.0 AS x_min, round(x_max, 4) + 0.0 AS x_max,
+                   round(y_min, 4) + 0.0 AS y_min, round(y_max, 4) + 0.0 AS y_max
             FROM ({rhp_xy_range_sql(f"SELECT DISTINCT cell_id FROM ({cust2})", 2)})
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
@@ -1530,7 +1540,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_cell_agg": f"""
             WITH enc AS MATERIALIZED ({enc3})
-            SELECT cell_id, count(*) AS n, sum(pid) AS sum_pid
+            SELECT cell_id, count(*) AS n,
+                   CAST(sum(pid) AS BIGINT) AS sum_pid
             FROM enc GROUP BY cell_id
         """,
         "knn_adaptive": _knn_sql(),
@@ -1706,8 +1717,8 @@ def _centroid_quads_oracle_sql() -> str:
              + max(CASE WHEN nm = 'dr' THEN v_lat END))
              + max(CASE WHEN nm = 'dl' THEN v_lat END)) / 4 AS lat_bar
           FROM v GROUP BY cell_id)
-        SELECT n.cell_id, round(n.n_lon, 9) AS c_lon,
-               round(l.lat_bar, 9) AS c_lat
+        SELECT n.cell_id, round(n.n_lon, 9) + 0.0 AS c_lon,
+               round(l.lat_bar, 9) + 0.0 AS c_lat
         FROM nuc n JOIN lat4 l ON n.cell_id = l.cell_id
     """
 
@@ -1720,7 +1731,7 @@ def _boundary_quads_oracle_sql() -> str:
         "WHERE substr(cell_id, 1, 1) IN ('O','P','Q','R')"
     )
     pick = ", ".join(
-        f"round(max(CASE WHEN nm = '{nm}' THEN v_{ax} END), 9) AS {nm}_{ax}"
+        f"round(max(CASE WHEN nm = '{nm}' THEN v_{ax} END), 9) + 0.0 AS {nm}_{ax}"
         for nm in ("ul", "ur", "dr", "dl")
         for ax in ("lon", "lat")
     )
