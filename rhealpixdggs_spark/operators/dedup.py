@@ -20,6 +20,26 @@ from ..functions.text import fingerprint, tokens, word_ngrams
 _MINHASH_P = (1 << 31) - 1
 
 
+def md5_hash64(col) -> F.Column:
+    """Portable 60-bit hash: top 15 hex chars of md5, parsed base-16.
+
+    Bit-identical in any ANSI engine — DuckDB computes the same value as
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`` — which is what the
+    driver's SQL oracles use to value-check minhash/simhash signatures.
+    Slower than xxhash64 (md5 + string conv), so it is only the oracle
+    hash; the default scale path stays xxhash64.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col, hash_fn: str) -> F.Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return md5_hash64(col)
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'xxhash64' or 'md5')")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", keep: str = "min"
 ) -> DataFrame:
@@ -89,10 +109,12 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per document: shingle -> xxhash64 -> family of
-    (a*h+b) % P minima, all as column expressions (explode + groupBy
-    min, map-side partial agg)."""
+    """MinHash signature per document: shingle -> 64-bit hash -> family
+    of (a*h+b) % P minima, all as column expressions (explode + groupBy
+    min, map-side partial agg). hash_fn='md5' picks the portable hash
+    the SQL oracle can recompute."""
     import random
 
     rnd = random.Random(seed)
@@ -100,7 +122,7 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_s"),
-    ).withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MINHASH_P)))
+    ).withColumn("_h", F.pmod(_hash64(F.col("_s"), hash_fn), F.lit(_MINHASH_P)))
     mins = [
         F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -116,19 +138,22 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding: hash each band
     of the signature, self-join on (band, band_hash). The join key is
     the band hash — the classic shuffle-friendly near-dup plan."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col, seed)
+    sig = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col, seed, hash_fn)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
-        )
+        if hash_fn == "md5":
+            bh = md5_hash64(F.concat_ws("|", *[c.cast("string") for c in cols]))
+        else:
+            bh = F.xxhash64(*cols)
+        band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -147,12 +172,13 @@ def simhash(
     bits: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash per document: per-token xxhash64, sum of +/-1 votes per
-    bit, sign -> bit. 'bits' bitwise aggregates, all JVM-side."""
+    """SimHash per document: per-token 64-bit hash, sum of +/-1 votes
+    per bit, sign -> bit. 'bits' bitwise aggregates, all JVM-side."""
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", _hash64(F.col("_t"), hash_fn))
     votes = [
         F.sum(
             F.when(F.col("_h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
@@ -173,12 +199,13 @@ def simhash_near_pairs(
     blocks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block the signature into `blocks`
     chunks (pigeonhole: any pair within max_hamming < blocks shares at
     least one exact block), equi-join per block, verify Hamming
     distance with bit_count."""
-    sig = simhash(df, bits, text_col, id_col)
+    sig = simhash(df, bits, text_col, id_col, hash_fn)
     width = bits // blocks
     mask = (1 << width) - 1
     chunks = F.array(

@@ -149,6 +149,285 @@ def linetrace_df(
     )
 
 
+def _in_ring_col(px, py, ring):
+    """Even-odd ray-crossing containment against a CONSTANT ring as a
+    pure column expression (JVM twin of kernel points_in_ring,
+    regions.py:321-337): one xor'd crossing term per non-horizontal
+    edge, whole-stage codegen, no UDF."""
+    ring = [tuple(map(float, p)) for p in ring]
+    if ring[0] == ring[-1]:
+        ring = ring[:-1]
+    inside = F.lit(False)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses the test ray
+        crosses = (F.lit(y1) > py) != (F.lit(y2) > py)
+        xin = F.lit(x2 - x1) * (py - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        inside = inside != (crosses & (px < xin))
+    return inside
+
+
+def points_in_polygon_col(px, py, exterior, holes=()):
+    """Column twin of kernel points_in_polygon (exterior minus holes)."""
+    inside = _in_ring_col(px, py, exterior)
+    for h in holes:
+        inside = inside & ~_in_ring_col(px, py, h)
+    return inside
+
+
+def region_cover_ell_df(
+    spark: SparkSession,
+    res: int,
+    ul: tuple[float, float],
+    dr: tuple[float, float],
+    cfg: DggsConfig = WGS84_003,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ellipsoidal cells_from_region (dggs.py:1298-1331):
+    same (row_i, col_i, cell_id) matrix as the kernel, row-major
+    north->south / west->east, built Spark-side.
+
+    Plan (the SURVEY section 2.6 'per-parallel generation, union'):
+    the nucleus-latitude rows of the cover form a uniform lattice in
+    planar y, so the row table is one spark.range / small local table;
+    every row whose nucleus lies in the equatorial band expands to a
+    closed-form planar COLUMN range (east neighbor == next column,
+    x == R*lambda there), materialized by the level-order index codec
+    in one Arrow pass — no neighbor walking, no driver-side cells.
+    Polar-cap rows (the parallel's image is a square ring around the
+    cap, dggs.py:1060-1094) fall back to the per-row walk kernel
+    cells_from_parallel inside a pandas UDF, parallel across rows.
+    """
+    import math
+
+    PI = np.pi if cfg.radians else 180.0
+    mat_fallback = (
+        ul[0] > dr[0]
+        or ul[1] < dr[1]
+        or res == 0
+        or (tuple(ul) == (-PI, PI / 2) and dr[0] == -PI)
+        or (tuple(dr) == (-PI, -PI / 2) and ul[0] == -PI)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("row_i", T.LongType()),
+            T.StructField("col_i", T.LongType()),
+            T.StructField("cell_id", T.StringType()),
+        ]
+    )
+    if mat_fallback:
+        # degenerate / res-0 / whole-cap regions: the kernel matrix is
+        # tiny (caps span single-digit rows at res 0).
+        mat = KR.cells_from_region(cfg, res, ul, dr, plane=False)
+        rows = [
+            (ri, ci, c) for ri, row in enumerate(mat) for ci, c in enumerate(row)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    R = cfg.R_A
+    w = cfg.cell_width(res)
+    n3 = cfg.N_side**res
+    ring_len = 4 * n3
+    phi_min, phi_max = dr[1], ul[1]
+    lam_min, lam_max = ul[0], dr[0]
+
+    def fwd(lam, phi):
+        x, y = KR.healpix_forward_cfg(
+            cfg, np.array([lam], dtype=np.float64), np.array([phi], dtype=np.float64)
+        )
+        return float(x[0]), float(y[0])
+
+    _, y_min = fwd(0.0, phi_min)
+    _, y_max = fwd(0.0, phi_max)
+    # nucleus-y lattice, bit-identical to cell_latitudes(plane=True)
+    ys = KR.cell_latitudes(cfg, res, y_min, y_max, nucleus_lats=True, plane=True)
+    n_rows = len(ys)
+
+    # column span of one parallel row in the equatorial band: contiguous
+    # global columns between the corner cells' planar x (x = R*lambda).
+    x_lo, _ = fwd(lam_min, 0.0)
+    x_hi, _ = fwd(lam_max, 0.0)
+    c0 = int(math.floor((x_lo + R * np.pi) / w))
+    c1 = int(math.floor((x_hi + R * np.pi) / w))
+    c0 = min(c0, ring_len - 1)
+    c1 = min(c1, ring_len - 1)
+    full_ring = c0 == c1 and (lam_max - lam_min) >= PI / 2
+    ncols = ring_len if full_ring else c1 - c0 + 1
+
+    # boundary rows (dggs.py:1319-1330): prepend/append a walked
+    # parallel when the lattice misses the region's corner cells.
+    ul_cell = KR.encode1(cfg, ul[0], ul[1], res)
+    dl_cell = KR.encode1(cfg, ul[0], dr[1], res)
+    first_nucleus = (
+        KR.encode1(
+            cfg,
+            lam_min,
+            float(KR.healpix_inverse_cfg(
+                cfg, np.array([R * np.pi / 4]), np.array([ys[-1]]))[1][0]),
+            res,
+        )
+        if n_rows
+        else None
+    )
+    prepend = not n_rows or first_nucleus != ul_cell
+    last_nucleus = (
+        KR.encode1(
+            cfg,
+            lam_min,
+            float(KR.healpix_inverse_cfg(
+                cfg, np.array([R * np.pi / 4]), np.array([ys[0]]))[1][0]),
+            res,
+        )
+        if n_rows
+        else None
+    )
+    append = not n_rows or last_nucleus != dl_cell
+    off = 1 if prepend else 0
+
+    # split rows: equatorial band (closed-form columns) vs cap (walk).
+    band = R * np.pi / 4
+    eq_rows = [
+        (off + (n_rows - 1 - k), y) for k, y in enumerate(ys) if abs(y) < band
+    ]
+    walk_rows = [
+        (off + (n_rows - 1 - k), 0, y)
+        for k, y in enumerate(ys)
+        if abs(y) >= band
+    ]
+    if prepend:
+        walk_rows.append((0, 1, phi_max))
+    if append:
+        walk_rows.append((off + n_rows, 1, phi_min))
+
+    parts = []
+    if eq_rows:
+        rows_df = spark.createDataFrame(eq_rows, ["row_i", "y"])
+        if partitions:
+            rows_df = rows_df.repartition(partitions)
+        cols_df = spark.range(0, ncols).select(F.col("id").alias("col_i"))
+        g = rows_df.crossJoin(cols_df)
+        gc = (F.col("col_i") + F.lit(c0)) % F.lit(ring_len)
+        rib = F.floor((F.lit(band) - F.col("y")) / F.lit(w)).cast("long")
+        face = F.lit(1) + F.floor(gc / F.lit(n3)).cast("long")
+        cif = gc % F.lit(n3)
+        # level-order index = base + face*9^res + 3*spread3to9(row) +
+        # spread3to9(col) (cell.py:260-267 digit interleave).
+        base = cfg.num_cells(0, res - 1)
+        idx = F.lit(base) + face * F.lit((cfg.N_side**2) ** res)
+        spread_r, spread_c = F.lit(0).cast("long"), F.lit(0).cast("long")
+        for i in range(res):
+            p3, p9 = cfg.N_side**i, (cfg.N_side**2) ** i
+            spread_r = spread_r + (F.floor(rib / F.lit(p3)) % 3) * F.lit(p9)
+            spread_c = spread_c + (F.floor(cif / F.lit(p3)) % 3) * F.lit(p9)
+        idx = idx + F.lit(3) * spread_r + spread_c
+
+        @pandas_udf(T.StringType())
+        def idx_to_suid(ix: pd.Series) -> pd.Series:
+            face, digits = KC.suid_from_level_order_index(
+                cfg, ix.to_numpy(dtype=np.int64), res
+            )
+            return pd.Series(KC.suid_strings(face, digits), index=ix.index)
+
+        parts.append(
+            g.select(
+                F.col("row_i").cast("long"),
+                F.col("col_i").cast("long"),
+                idx_to_suid(idx).alias("cell_id"),
+            )
+        )
+    if walk_rows:
+        wdf = spark.createDataFrame(walk_rows, ["row_i", "is_phi", "val"])
+
+        @pandas_udf(T.ArrayType(T.StringType()))
+        def walk(is_phi: pd.Series, val: pd.Series) -> pd.Series:
+            out = []
+            for flag, v in zip(is_phi, val):
+                if flag:
+                    phi = float(v)
+                else:
+                    phi = float(
+                        KR.healpix_inverse_cfg(
+                            cfg, np.array([R * np.pi / 4]), np.array([float(v)])
+                        )[1][0]
+                    )
+                out.append(
+                    [str(c) for c in KR.cells_from_parallel(
+                        cfg, res, phi, lam_min, lam_max)]
+                )
+            return pd.Series(out, dtype=object)
+
+        traced = wdf.withColumn(
+            "_cells", walk.asNondeterministic()(F.col("is_phi"), F.col("val"))
+        )
+        parts.append(
+            traced.select(
+                F.col("row_i").cast("long"),
+                F.posexplode("_cells").alias("col_i", "cell_id"),
+            ).select("row_i", F.col("col_i").cast("long"), "cell_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def polyfill_df(
+    spark: SparkSession,
+    polygons: dict[str, list],
+    res: int,
+    cfg: DggsConfig = WGS84_003,
+    plane: bool = False,
+    compress: bool = False,
+) -> DataFrame:
+    """Distributed polyfill (rhp_wrappers.py:510-599 semantics, same
+    result set as kernel polyfill): per polygon, candidates come from
+    the DISTRIBUTED bbox cover (region_cover_ell_df / region_cover_df),
+    the centroid decode is one Arrow pass (rhp_centroid), and the
+    even-odd containment filter is a pure column expression
+    (points_in_polygon_col) — no driver-side cell list at any point.
+    Output: (tile_id, res, zone)."""
+    from ..functions.udfs import rhp_centroid
+
+    zones = []
+    for name, polys in polygons.items():
+        cand = None
+        for exterior, holes in polys:
+            ext = np.asarray(exterior, dtype=np.float64)
+            nw = (float(ext[:, 0].min()), float(ext[:, 1].max()))
+            se = (float(ext[:, 0].max()), float(ext[:, 1].min()))
+            if plane:
+                cover = region_cover_df(spark, res, nw, se, cfg)
+            else:
+                cover = region_cover_ell_df(spark, res, nw, se, cfg)
+            cells = cover.select("cell_id").distinct()
+            # centroid struct fields are (lon, lat); in plane mode they
+            # carry (x, y) — either way the polygon is in the same frame.
+            c = rhp_centroid(F.col("cell_id"), cfg, plane=plane)
+            keep = cells.select("cell_id", c.alias("_c")).where(
+                points_in_polygon_col(
+                    F.col("_c")["lon"], F.col("_c")["lat"], exterior, holes
+                )
+            ).select("cell_id")
+            cand = keep if cand is None else cand.unionByName(keep)
+        cand = cand.distinct()
+        if compress:
+            cand = compress_cells_df(cand, cfg=cfg)
+        zones.append(
+            cand.select(
+                F.col("cell_id").alias("tile_id"),
+                (F.length("cell_id") - 1).cast("int").alias("res"),
+                F.lit(name).alias("zone"),
+            )
+        )
+    out = zones[0]
+    for z in zones[1:]:
+        out = out.unionByName(z)
+    return out
+
+
 def region_cover_df(
     spark: SparkSession,
     res: int,

@@ -159,6 +159,68 @@ FROM s12
 """
 
 
+def rhp_encode_planar_sql(source_sql: str, res: int, keep_cols: str = "pid") -> str:
+    """suid at `res` for a source relation exposing PLANAR columns X, Y
+    (metres in the rHEALPix image): the face-dispatch + digit-floor
+    tail of rhp_encode_sql (stages s9-s12; dggs.py:768-831 planar
+    branch). Cells outside the image yield NULL."""
+    Rp4 = _r(_R * _PI / 4)
+    R3p4 = _r(_R * 3 * _PI / 4)
+    Rp2 = _r(_R * (-_PI / 2 + 0 * (_PI / 2)))
+    Rpi = _r(_R * (-_PI + 0 * (_PI / 2)))
+    Rp2_pos = _r(_R * _PI / 2)
+    Rpi_pos = _r(_R * _PI)
+    ulN = (_r(_R * (-_PI + 0 * _PI / 2)), _r(_R * (3 * _PI / 4)))
+    ulO = (_r(_R * -_PI), _r(_R * (_PI / 4)))
+    ulP = (_r(_R * (-_PI / 2)), _r(_R * (_PI / 4)))
+    ulQ = (_r(_R * 0.0), _r(_R * (_PI / 4)))
+    ulR = (_r(_R * (_PI / 2)), _r(_R * (_PI / 4)))
+    ulS = (_r(_R * (-_PI + 0 * _PI / 2)), _r(_R * (-_PI / 4)))
+    w0 = _R * (_PI / 2) * 3.0 ** (-0)
+    smidgen = _r(0.5 * WGS84_003.cell_width(WGS84_003.max_resolution) / w0)
+    w0r = _r(w0)
+    scale = 3**res
+    digit_exprs = []
+    for i in range(1, res + 1):
+        k = 3 ** (res - i)
+        digit_exprs.append(
+            f"CAST(((drow // {k}) % 3) * 3 + ((dcol // {k}) % 3) AS VARCHAR)"
+        )
+    suid_concat = " || ".join(["face_char"] + digit_exprs) if res > 0 else "face_char"
+    return f"""
+WITH pxy AS ({source_sql}),
+t9 AS (SELECT {keep_cols}, X, Y,
+  CASE
+    WHEN Y > {Rp4} AND Y < {R3p4} AND X > {Rpi} AND X < {Rp2} THEN 0
+    WHEN Y > -{R3p4} AND Y < -{Rp4} AND X > {Rpi} AND X < {Rp2} THEN 5
+    WHEN Y >= -{Rp4} AND Y <= {Rp4} AND X >= {Rpi} AND X < {Rp2} THEN 1
+    WHEN Y >= -{Rp4} AND Y <= {Rp4} AND X >= {Rp2} AND X < 0 THEN 2
+    WHEN Y >= -{Rp4} AND Y <= {Rp4} AND X >= 0 AND X < {Rp2_pos} THEN 3
+    WHEN Y >= -{Rp4} AND Y <= {Rp4} AND X >= {Rp2_pos} AND X < {Rpi_pos} THEN 4
+    ELSE -1 END AS face
+  FROM pxy),
+t10 AS (SELECT {keep_cols}, face,
+  CASE face WHEN 0 THEN 'N' WHEN 1 THEN 'O' WHEN 2 THEN 'P' WHEN 3 THEN 'Q'
+            WHEN 4 THEN 'R' WHEN 5 THEN 'S' ELSE NULL END AS face_char,
+  abs(X - CASE face WHEN 0 THEN {ulN[0]} WHEN 1 THEN {ulO[0]} WHEN 2 THEN {ulP[0]}
+                    WHEN 3 THEN {ulQ[0]} WHEN 4 THEN {ulR[0]} ELSE {ulS[0]} END) / {w0r} AS dxf,
+  abs(Y - CASE face WHEN 0 THEN {ulN[1]} WHEN 1 THEN {ulO[1]} WHEN 2 THEN {ulP[1]}
+                    WHEN 3 THEN {ulQ[1]} WHEN 4 THEN {ulR[1]} ELSE {ulS[1]} END) / {w0r} AS dyf
+  FROM t9),
+t11 AS (SELECT {keep_cols}, face, face_char,
+  CASE WHEN dxf = 1 THEN dxf - {smidgen} ELSE dxf END AS dxq,
+  CASE WHEN dyf = 1 THEN dyf - {smidgen} ELSE dyf END AS dyq
+  FROM t10),
+t12 AS (SELECT {keep_cols}, face, face_char,
+  least(greatest(CAST(floor(dyq * {float(scale)!r}) AS BIGINT), 0), {scale - 1}) AS drow,
+  least(greatest(CAST(floor(dxq * {float(scale)!r}) AS BIGINT), 0), {scale - 1}) AS dcol
+  FROM t11)
+SELECT {keep_cols},
+  CASE WHEN face < 0 THEN NULL ELSE {suid_concat} END AS cell_id
+FROM t12
+"""
+
+
 def _series_coeffs_inverse(e: float) -> list[float]:
     """Fold the A20 inverse-series coefficients exactly as the
     reference nests them (utils.py:267-338)."""
