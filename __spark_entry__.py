@@ -2032,25 +2032,36 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id % 5 = 0)
             SELECT DISTINCT md5(text) AS fp, lang FROM u
         """,
+        # True-octet oracles: hex(encode(text)) pairs, so non-ASCII and
+        # empty payloads agree with the engine (bytes, not code points;
+        # mean 0.0 / first_byte -1 on empty).
         "multimodal_features": """
-            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-              round(list_aggregate(list_transform(range(1, length(text)+1),
-                      i -> unicode(text[CAST(i AS INT)])), 'sum')
-                    / (1.0e0 * length(text)), 6) AS mean_byte,
-              unicode(substr(text, 1, 1)) AS first_byte
-            FROM documents
+            WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                              octet_length(encode(text)) AS nb FROM documents)
+            SELECT doc_id, nb AS n_bytes,
+              CASE WHEN nb = 0 THEN 0.0 ELSE
+                round(list_aggregate(list_transform(range(nb),
+                        i -> CAST(concat('0x', substr(hx, CAST(i*2+1 AS INT), 2))
+                                  AS INT)), 'sum')
+                      / (1.0e0 * nb), 6) END AS mean_byte,
+              CASE WHEN nb = 0 THEN -1
+                   ELSE CAST(concat('0x', substr(hx, 1, 2)) AS INT)
+              END AS first_byte
+            FROM d
         """,
         "frame_sample": """
-            WITH d AS (SELECT doc_id, text,
+            WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
                               octet_length(encode(text)) AS nb FROM documents),
-            f AS (SELECT doc_id, text, nb,
+            f AS (SELECT doc_id, hx, nb,
                          unnest(range(0, CAST(ceil(nb/16.0e0) AS BIGINT))) AS fi
                   FROM d)
             SELECT doc_id, fi AS frame_idx,
               CAST(least(16, nb - fi*16) AS INT) AS frame_len,
               CAST(list_aggregate(list_transform(
-                     range(1, least(16, nb - fi*16) + 1),
-                     i -> unicode(text[CAST(fi*16 + i AS INT)])), 'sum')
+                     range(least(16, nb - fi*16)),
+                     i -> CAST(concat('0x',
+                            substr(hx, CAST((fi*16 + i)*2 + 1 AS INT), 2))
+                          AS INT)), 'sum')
                    AS BIGINT) AS frame_sum
             FROM f WHERE fi % 3 = 0
         """,

@@ -9,6 +9,8 @@ from .udfs import (  # noqa: F401
     rhp_center_child,
     rhp_centroid,
     rhp_encode,
+    rhp_intersects_meridian,
+    rhp_intersects_parallel,
     rhp_is_valid_col,
     rhp_k_ring,
     rhp_level_order_index,

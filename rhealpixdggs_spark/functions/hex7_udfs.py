@@ -30,7 +30,13 @@ def hex7_encode(lon: Column, lat: Column, res: int) -> Column:
     @pandas_udf(T.LongType())
     def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
         out = H.encode(lo.to_numpy(np.float64), la.to_numpy(np.float64), res)
-        return pd.Series(out, index=lo.index)
+        # The kernel's -1 null sentinel must not escape to SQL: a -1
+        # cell would silently unpack to res=15/face=31 garbage in
+        # hex7_parent / groupBy. NULL propagates instead (same contract
+        # as sql_api.hex7_encode_fn).
+        ser = pd.Series(out, index=lo.index, dtype="Int64")
+        ser[ser < 0] = pd.NA
+        return ser
 
     return _enc.asNondeterministic()(lon, lat)
 
@@ -93,4 +99,6 @@ def hex7_face(cell: Column) -> Column:
 
 
 def hex7_token(cell: Column) -> Column:
-    return F.lpad(F.hex(cell), 16, "0")
+    # lower(): kernel token() emits '%016x' (lowercase); the column and
+    # kernel surfaces must produce comparable tokens.
+    return F.lower(F.lpad(F.hex(cell), 16, "0"))

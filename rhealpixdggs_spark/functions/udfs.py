@@ -235,6 +235,57 @@ def rhp_boundary(
     return _decode_udf(cfg, fn, _RING_TYPE)(cell_id)
 
 
+def rhp_intersects_parallel(
+    cell_id: Column, phi: float, cfg: DggsConfig = WGS84_003
+) -> Column:
+    """suid -> does the ellipsoidal cell's boundary intersect parallel
+    `phi` (cell.py:940-957): vertex-latitude extremes straddle the
+    parallel; a cap cell intersects everything poleward of its rim."""
+
+    def fn(face, digits):
+        rows = KC.vertices(cfg, face, digits, plane=False)
+        shape = KC.ellipsoidal_shape(cfg, face, digits)
+        out = []
+        for i, row in enumerate(rows):
+            lat = np.asarray(row, dtype=np.float64)[:, 1]
+            lat_min, lat_max = float(lat.min()), float(lat.max())
+            if shape[i] == 1:  # cap
+                out.append(phi >= lat_min if face[i] == 0 else phi <= lat_max)
+            else:
+                out.append(lat_min <= phi <= lat_max)
+        return [bool(v) for v in out]
+
+    return _decode_udf(cfg, fn, T.BooleanType())(cell_id)
+
+
+def rhp_intersects_meridian(
+    cell_id: Column, lam: float, cfg: DggsConfig = WGS84_003
+) -> Column:
+    """suid -> does the ellipsoidal cell's boundary intersect meridian
+    `lam` (cell.py:908-938), including the antimeridian-straddling
+    dart case; cap cells intersect every meridian."""
+
+    def fn(face, digits):
+        rows = KC.vertices(cfg, face, digits, plane=False)
+        shape = KC.ellipsoidal_shape(cfg, face, digits)
+        PI = np.pi if cfg.radians else 180.0
+        out = []
+        for i, row in enumerate(rows):
+            if shape[i] == 1:  # cap
+                out.append(True)
+                continue
+            lon = np.asarray(row, dtype=np.float64)[:, 0]
+            lon_min, lon_max = float(lon.min()), float(lon.max())
+            if abs(lon_min - lon_max) > PI:
+                lon_min = -lon_max
+                out.append(lon_max <= lam or lam <= lon_min)
+            else:
+                out.append(lon_min <= lam <= lon_max)
+        return [bool(v) for v in out]
+
+    return _decode_udf(cfg, fn, T.BooleanType())(cell_id)
+
+
 def rhp_neighbors(cell_id: Column, cfg: DggsConfig = WGS84_003, plane: bool = True) -> Column:
     """suid -> map<direction, suid> (cell.neighbors, cell.py:1347-1446)."""
 

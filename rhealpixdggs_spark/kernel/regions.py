@@ -167,6 +167,21 @@ def intersects_meridian(cfg: DggsConfig, suid: str, lam: float) -> bool:
     return lon_min <= lam <= lon_max
 
 
+def intersects_parallel(cfg: DggsConfig, suid: str, phi: float) -> bool:
+    """Does the ellipsoidal cell's boundary intersect parallel phi
+    (cell.py:940-957): extreme vertex latitudes straddle the parallel;
+    cap cells intersect everything poleward of their rim. Pure API
+    surface — the reference never calls it internally either."""
+    verts = _vertices1(cfg, suid, plane=False)
+    lat_min = min(v[1] for v in verts)
+    lat_max = max(v[1] for v in verts)
+    if _shape1(cfg, suid) == 1:  # cap
+        if suid[0] == "N":  # north_polar region
+            return phi >= lat_min
+        return phi <= lat_max
+    return lat_min <= phi <= lat_max
+
+
 def cells_from_meridian(
     cfg: DggsConfig, resolution: int, lam: float, phi_min: float, phi_max: float
 ) -> list[str]:

@@ -107,7 +107,9 @@ def cell_agg(
     partial = salted.groupBy(cell_col, "_salt").agg(
         *[c.alias(f"_p_{n}") for n, c in aggs.items()]
     )
-    # Merge partials: counts/sums re-sum, min/max re-apply.
+    # Merge partials: counts/sums re-sum, min/max re-apply. Anything
+    # non-algebraic (avg, stddev, count_distinct, ...) would be merged
+    # WRONG by re-summing, so it is rejected outright.
     merged = []
     for n, c in aggs.items():
         fn_name = c._jc.toString().lower() if hasattr(c, "_jc") else ""
@@ -119,7 +121,12 @@ def cell_agg(
         elif fn_name.startswith("max("):
             merged.append(F.max(col).alias(n))
         else:
-            merged.append(F.sum(col).alias(n))
+            raise ValueError(
+                f"cell_agg(n_salt>0) merges only algebraic aggregates "
+                f"(count/sum/min/max); got {n!r} = "
+                f"{fn_name or type(c).__name__!r}. Decompose it (avg = "
+                f"sum+count) or aggregate without salting."
+            )
     return partial.groupBy(cell_col).agg(*merged)
 
 
@@ -253,7 +260,16 @@ def knn_join_rings_adaptive(
     """Ring-expansion kNN with straggler re-expansion: queries whose
     ring held fewer than k candidates are re-run with a doubled ring
     until satisfied or max_ring_k. Satisfied queries never recompute —
-    the expansion loop only carries the under-covered tail."""
+    the expansion loop only carries the under-covered tail.
+
+    Fully distributed: the under-covered tail is derived with a
+    left_anti join on the satisfied query ids (queries with zero
+    candidates never appear in the ring output at all, so anti-joining
+    on SATISFIED ids captures both the short and the absent). Each
+    round's satisfied rows and the shrinking query table are
+    localCheckpoint'ed so the per-round cache can be released
+    immediately — no driver-side id list, no unbounded lineage, no
+    cache leak at millions of queries."""
     remaining = queries
     parts = []
     rk = ring_k
@@ -261,16 +277,14 @@ def knn_join_rings_adaptive(
         out = knn_join_rings(
             points, remaining, k, ring_k=rk, res=res, query_id=query_id, **kwargs
         ).cache()
-        satisfied = out.where(F.col("n_cand") >= k)
+        satisfied = out.where(F.col("n_cand") >= k).localCheckpoint(eager=True)
         parts.append(satisfied)
-        short = [r[0] for r in out.where(F.col("n_cand") < k).select(query_id).distinct().collect()]
-        found = [r[0] for r in out.select(query_id).distinct().collect()]
-        # Queries with zero candidates never appear in `out` at all.
-        all_ids = [r[0] for r in remaining.select(query_id).collect()]
-        unsatisfied = set(short) | (set(all_ids) - set(found))
-        if not unsatisfied:
+        remaining = remaining.join(
+            satisfied.select(query_id).distinct(), query_id, "left_anti"
+        ).localCheckpoint(eager=True)
+        out.unpersist()
+        if remaining.isEmpty():
             break
-        remaining = remaining.where(F.col(query_id).isin(list(unsatisfied)))
         rk *= 2
     result = parts[0]
     for p in parts[1:]:
@@ -303,6 +317,12 @@ def polygon_join(
     `polygons` is a list of (zone, exterior_ring, holes) with rings as
     [(lon, lat), ...]. Returns the matching points with a `zone`
     column; points in several zones appear once per zone.
+
+    Limitation: polygons must NOT cross the antimeridian — the bbox
+    prefilter covers (min lon, max lat)-(max lon, min lat), so a
+    dateline-wrapping ring would be covered across the wrong
+    hemisphere band and silently drop matches. Split such rings at
+    +/-180 into two polygons of the same zone before calling.
     """
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf

@@ -151,4 +151,18 @@ class TestSparkLayer:
         )
         assert all(r.res == 9 for r in rows)
         assert all(0 <= r.face < 20 for r in rows)
-        assert all(len(r.tok) == 16 for r in rows)
+        # token must equal the kernel's lowercase '%016x' form exactly
+        assert [r.tok for r in rows] == H.token(kern).tolist()
+
+    def test_encode_nan_yields_null_not_sentinel(self, spark):
+        from rhealpixdggs_spark.functions.hex7_udfs import hex7_encode
+
+        df = spark.createDataFrame(
+            [(float("nan"), 1.0), (10.0, float("nan")), (10.0, 20.0)],
+            ["lon", "lat"],
+        )
+        rows = df.select(
+            hex7_encode(F.col("lon"), F.col("lat"), 9).alias("cell")
+        ).collect()
+        assert rows[0].cell is None and rows[1].cell is None
+        assert rows[2].cell is not None and rows[2].cell >= 0

@@ -169,6 +169,26 @@ class TestHierarchyHelpers:
         assert c == "Q44"
         assert RG.contains(WGS84_003_RADIANS, c, p, plane=False)
 
+    def test_intersects_parallel_matches_reference(self, ref):
+        # cell.py:940-957 — caps, darts, skew quads and plain quads
+        # across both hemispheres, checked against the reference Cell.
+        rd = ref.dggs.RHEALPixDGGS()
+        cells = ["N4", "S4", "N0", "N44", "S88", "O0", "P12", "Q33", "R785"]
+        phis = [-90.0, -70.0, -42.0, -20.0, 0.0, 15.0, 41.9, 60.0, 88.0, 90.0]
+        for s in cells:
+            c = rd.cell([s[0]] + [int(d) for d in s[1:]])
+            for phi in phis:
+                assert RG.intersects_parallel(WGS84_003, s, phi) == bool(
+                    c.intersects_parallel(phi)
+                ), (s, phi)
+
+    def test_cells_from_parallel_all_intersect(self):
+        # independent consistency: every cell the parallel walk returns
+        # must report boundary intersection with that parallel.
+        for phi in (-63.0, -10.0, 33.0, 52.0):
+            for s in RG.cells_from_parallel(WGS84_003, 2, phi, -150.0, 150.0):
+                assert RG.intersects_parallel(WGS84_003, s, phi), (s, phi)
+
     def test_minimal_cover(self, ref):
         rd = ref.dggs.RHEALPixDGGS()
         import numpy as np

@@ -89,6 +89,17 @@ class TestJoins:
         )
         assert plain.collect() == salted.collect()
 
+    def test_cell_agg_salted_rejects_non_algebraic(self, spark, rng):
+        import pytest
+
+        pts = _points_df(spark, rng, 100, res=2)
+        # avg partials cannot be merged by re-summing — must raise, not
+        # silently return a wrong merge.
+        with pytest.raises(ValueError, match="algebraic"):
+            cell_agg(pts, "cell_id", {"m": F.avg("pid")}, n_salt=8)
+        # n_salt=0 path still accepts any aggregate.
+        assert cell_agg(pts, "cell_id", {"m": F.avg("pid")}).count() > 0
+
     def test_top_k_cells(self, spark, rng):
         pts = _points_df(spark, rng, 1000, res=1)
         got = top_k_cells(pts, k=3).toPandas()
@@ -261,6 +272,19 @@ class TestScalePath:
         g = sorted((r.query_id, r.pid) for r in got.select("query_id", "pid").collect())
         b = sorted((r.query_id, r.pid) for r in brute.select("query_id", "pid").collect())
         assert g == b
+
+    def test_knn_adaptive_loop_is_distributed(self):
+        # The expansion loop must not collect query ids to the driver
+        # nor refilter with isin literals — scale killers at millions
+        # of queries (round-1 verdict item 5).
+        import inspect
+
+        from rhealpixdggs_spark.operators import joins
+
+        src = inspect.getsource(joins.knn_join_rings_adaptive)
+        assert ".collect(" not in src
+        assert ".isin(" not in src
+        assert "left_anti" in src and "unpersist" in src
 
     def test_bucketed_join_has_no_exchange(self, spark, rng, tmp_path):
         from rhealpixdggs_spark.operators.bucketing import bucketed_join, write_bucketed

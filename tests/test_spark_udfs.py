@@ -106,6 +106,26 @@ def test_cell_area_col(spark):
     assert abs(got - 219428.08748562282) < 1e-6
 
 
+def test_intersects_parallel_meridian_udfs(spark):
+    from rhealpixdggs_spark.functions import (
+        rhp_intersects_meridian,
+        rhp_intersects_parallel,
+    )
+    from rhealpixdggs_spark.kernel import regions as RG
+
+    cells = ["N4", "S4", "N0", "N44", "O0", "P12", "Q33", "R785"]
+    df = spark.createDataFrame([(c,) for c in cells], ["cell_id"])
+    phi, lam = 33.0, -120.0
+    rows = df.select(
+        "cell_id",
+        rhp_intersects_parallel(F.col("cell_id"), phi).alias("ip"),
+        rhp_intersects_meridian(F.col("cell_id"), lam).alias("im"),
+    ).collect()
+    for r in rows:
+        assert r.ip == RG.intersects_parallel(WGS84_003, r.cell_id, phi), r
+        assert r.im == RG.intersects_meridian(WGS84_003, r.cell_id, lam), r
+
+
 def test_explain_encode_is_arrow(spark):
     # The encode stage must be ArrowEvalPython (vectorized), not BatchEvalPython.
     df = spark.range(10).select(
