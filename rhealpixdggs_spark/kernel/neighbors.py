@@ -22,8 +22,8 @@ from .latitudes import wrap_longitude
 LEFT, RIGHT, UP, DOWN = 0, 1, 2, 3
 DIR_NAMES = {"left": LEFT, "right": RIGHT, "up": UP, "down": DOWN}
 # rhp_wrappers.py:30-31
-NEIGHBOURS = ["right", "down", "left", "up"]
-NEIGHBOUR_INVERSE = {"right": "left", "down": "up", "left": "right", "up": "down"}
+RING_DIRS = ("right", "down", "left", "up")  # ring-walk order
+DIR_INVERSE = dict(zip(RING_DIRS, ("left", "up", "right", "down")))
 
 
 class NeighborTables:
@@ -310,10 +310,10 @@ def cell_ring(cfg: DggsConfig, suid: str, k: int = 1) -> list[str] | None:
         mf, md = mirror_on_cube(cfg, face, digits)
         return [suid_strings(mf, md)[0]]
     if res == 0:
-        # Faces of the four neighbors in NEIGHBOURS order
+        # Faces of the four neighbors in ring-walk order
         # (rhp_wrappers.py:423-425).
         return [
-            CELLS0[neighbor(cfg, face, digits, d)[0][0]] for d in NEIGHBOURS
+            CELLS0[neighbor(cfg, face, digits, d)[0][0]] for d in RING_DIRS
         ]
     side = cfg.N_side**res
     row, col = rowcol(cfg, digits)
@@ -356,56 +356,56 @@ def _cell_ring_walk(cfg, face, digits, k, half_circle):
         face, digits = mirror_on_cube(cfg, face, digits)
     else:
         k_eff = k
-    max_steps = quarter if 2 * k_eff > quarter else 2 * k_eff
+    side_cap = quarter if 2 * k_eff > quarter else 2 * k_eff
     if k_eff < 1:
         return [suid_strings(face, digits)[0]]
 
-    directions = NEIGHBOURS
-    dinv = NEIGHBOUR_INVERSE
+    directions = RING_DIRS
+    dinv = DIR_INVERSE
     # _find_cell_ring_start (rhp_wrappers.py:738-807)
     cf, cd = face, digits
-    dir_idx = directions.index("left")
-    steps_from_start = -1
-    num_edges = 0
+    heading = directions.index("left")
+    entry_step = -1
+    edges_crossed = 0
     d = 0
     while d < k_eff:
         d += 1
-        nm = directions[dir_idx]
+        nm = directions[heading]
         nf, nd = neighbor(cfg, cf, cd, nm)
         if cf[0] != nf[0]:
-            num_edges += 1
+            edges_crossed += 1
             back_f, back_d = neighbor(cfg, nf, nd, dinv[nm])
             if not (back_f[0] == cf[0] and np.array_equal(back_d[0], cd[0])):
-                dir_idx = directions.index(dinv[_neighbor_direction(cfg, nf, nd, cf, cd)])
+                heading = directions.index(dinv[_neighbor_direction(cfg, nf, nd, cf, cd)])
         cf, cd = nf, nd
-        nm = directions[(dir_idx + 1) % 4]
+        nm = directions[(heading + 1) % 4]
         nf, nd = neighbor(cfg, cf, cd, nm)
         if cf[0] != nf[0]:
-            num_edges += 1
+            edges_crossed += 1
             back_f, back_d = neighbor(cfg, nf, nd, dinv[nm])
             if not (back_f[0] == cf[0] and np.array_equal(back_d[0], cd[0])):
-                dir_idx = (
+                heading = (
                     directions.index(dinv[_neighbor_direction(cfg, nf, nd, cf, cd)]) - 1
                 ) % 4
-            if num_edges > 1:
-                dir_idx = (dir_idx - 1) % 4
-                steps_from_start = d
+            if edges_crossed > 1:
+                heading = (heading - 1) % 4
+                entry_step = d
                 d = k_eff
         cf, cd = nf, nd
-    direction = dinv[directions[dir_idx]]
-    if steps_from_start >= 0:
-        n_steps = min(k_eff + steps_from_start - 1, max_steps)
+    direction = dinv[directions[heading]]
+    if entry_step >= 0:
+        side_len = min(k_eff + entry_step - 1, side_cap)
         local_up = directions[(directions.index(direction) - 1) % 4]
-        for _ in range(k_eff - steps_from_start):
+        for _ in range(k_eff - entry_step):
             cf, cd = neighbor(cfg, cf, cd, local_up)
     else:
-        n_steps = max_steps
+        side_len = side_cap
 
     # Walk the four sides (rhp_wrappers.py:444-466).
     ring = []
     for _ in range(4):
         step = 0
-        while step < n_steps:
+        while step < side_len:
             ring.append(suid_strings(cf, cd)[0])
             nf, nd = neighbor(cfg, cf, cd, direction)
             back_f, back_d = neighbor(cfg, nf, nd, dinv[direction])
@@ -413,9 +413,9 @@ def _cell_ring_walk(cfg, face, digits, k, half_circle):
                 direction = dinv[_neighbor_direction(cfg, nf, nd, cf, cd)]
             cf, cd = nf, nd
             step += 1
-        if n_steps == 2 * k_eff:
+        if side_len == 2 * k_eff:
             direction = directions[(directions.index(direction) + 1) % 4]
-        n_steps = max_steps
+        side_len = side_cap
     return ring
 
 

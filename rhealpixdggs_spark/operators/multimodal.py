@@ -71,28 +71,55 @@ _FEAT_SCHEMA = T.StructType(
 )
 
 
+def _flatten_payloads(bufs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ragged binaries -> (flat uint8 buffer, per-row lengths, row start
+    offsets). One C-level join — the only per-row Python is len()."""
+    lengths = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1])) if len(bufs) else np.zeros(0, np.int64)
+    return flat, lengths, starts
+
+
 def byte_features(df: DataFrame, payload_col: str = "payload",
                   id_col: str = "doc_id") -> DataFrame:
     """Feature extraction over opaque payloads: byte count, exact mean
     byte (integer sum / n, so engines agree bit-for-bit), first byte,
-    16-bin byte histogram. One NumPy pass per Arrow batch."""
+    16-bin byte histogram.
+
+    Fully vectorized over the flattened batch buffer (offsets +
+    reduceat + one bincount over row*16+nibble keys) — no Python-level
+    per-row loop even though the binaries are ragged."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i, buf in zip(pdf[id_col], pdf[payload_col]):
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
-                n = int(b.size)
-                rows.append(
-                    (
-                        int(i),
-                        n,
-                        float(int(b.sum())) / n if n else 0.0,
-                        int(b[0]) if n else -1,
-                        np.bincount(b >> 4, minlength=16).astype("int64").tolist(),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in _FEAT_SCHEMA.fields])
+            n = len(pdf)
+            bufs = [bytes(b) for b in pdf[payload_col]]
+            flat, lengths, starts = _flatten_payloads(bufs)
+            nonempty = lengths > 0
+            sums = np.zeros(n, dtype=np.int64)
+            if flat.size:
+                # per-row byte sums via prefix-sum differences (robust
+                # to empty rows, unlike reduceat on duplicate offsets)
+                csum = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
+                sums = csum[starts + lengths] - csum[starts]
+            mean = np.where(nonempty, sums / np.maximum(lengths, 1), 0.0)
+            first = np.full(n, -1, dtype=np.int64)
+            if flat.size:
+                first[nonempty] = flat[starts[nonempty]]
+            hist = np.zeros((n, 16), dtype=np.int64)
+            if flat.size:
+                row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+                keys = row_of * 16 + (flat >> 4)
+                hist = np.bincount(keys, minlength=n * 16).reshape(n, 16)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(np.int64).to_numpy(),
+                    "n_bytes": lengths,
+                    "mean_byte": mean,
+                    "first_byte": first.astype(np.int32),
+                    "hist16": list(hist.astype(np.int64)),
+                }
+            )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         extract, _FEAT_SCHEMA
@@ -122,16 +149,61 @@ def sample_frames(
     mapInPandas so frame bytes never round-trip through the driver."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
         for pdf in batches:
-            rows = []
-            for i, buf in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(buf)
-                n_frames = (len(b) + frame_size - 1) // frame_size
-                for fi in range(0, n_frames, every_k):
-                    fr = b[fi * frame_size : (fi + 1) * frame_size]
-                    arr = np.frombuffer(fr, dtype=np.uint8)
-                    rows.append((int(i), fi, len(fr), int(arr.sum()), fr))
-            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+            n = len(pdf)
+            bufs = [bytes(b) for b in pdf[payload_col]]
+            flat, lengths, starts = _flatten_payloads(bufs)
+            ids = pdf[id_col].astype(np.int64).to_numpy()
+            # kept frames per row: indices 0, k, 2k, ... below ceil(n/fs)
+            n_frames = (lengths + frame_size - 1) // frame_size
+            kept = (n_frames + every_k - 1) // every_k
+            total = int(kept.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {f.name: [] for f in _FRAME_SCHEMA.fields}
+                ).astype({"doc_id": "int64", "frame_idx": "int64",
+                          "frame_len": "int32", "frame_sum": "int64",
+                          "frame": "object"})
+                continue
+            row_of = np.repeat(np.arange(n, dtype=np.int64), kept)
+            # frame index within its row: global position minus the
+            # row's first output slot, times the stride.
+            out_starts = np.concatenate(([0], np.cumsum(kept)[:-1]))
+            within = np.arange(total, dtype=np.int64) - np.repeat(out_starts, kept)
+            frame_idx = within * every_k
+            f_start = starts[row_of] + frame_idx * frame_size
+            f_len = np.minimum(
+                frame_size, lengths[row_of] - frame_idx * frame_size
+            ).astype(np.int64)
+            # exact per-frame sums from the flat prefix sum — no loop
+            csum = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
+            f_sum = csum[f_start + f_len] - csum[f_start]
+            # gather kept-frame bytes into one contiguous buffer and
+            # wrap it as an Arrow binary array (offsets + values), so
+            # the ragged frame column is built without per-frame Python
+            v_ends = np.cumsum(f_len)
+            v_starts = v_ends - f_len
+            gather = (
+                np.repeat(f_start - v_starts, f_len)
+                + np.arange(int(v_ends[-1]), dtype=np.int64)
+            )
+            values = flat[gather]
+            offsets = np.concatenate(([0], v_ends)).astype(np.int32)
+            frames = pa.Array.from_buffers(
+                pa.binary(), total,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values.tobytes())],
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[row_of],
+                    "frame_idx": frame_idx,
+                    "frame_len": f_len.astype(np.int32),
+                    "frame_sum": f_sum,
+                    "frame": frames.to_pandas(),
+                }
+            )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         sample, _FRAME_SCHEMA

@@ -54,6 +54,39 @@ class TestMultimodal:
         assert d1[0].frame_sum == 16 * ord("a")
         assert bytes(d1[0].frame) == b"a" * 16
 
+    def test_vectorized_matches_scalar_reference(self, spark):
+        # ragged batch incl. empty, 1-byte, multi-byte UTF-8 and long
+        # payloads: the offsets-vectorized path must equal a plain
+        # per-row Python computation byte-for-byte.
+        texts = ["", "x", "héllo wörld — ünïcode", "ab" * 37, "ÿ" * 5, "z" * 100]
+        docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        media = attach_payload(docs)
+        rows = {r.doc_id: r for r in byte_features(media).collect()}
+        frames = {}
+        for r in sample_frames(media, frame_size=7, every_k=2).collect():
+            frames.setdefault(r.doc_id, []).append(r)
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8")
+            assert rows[i].n_bytes == len(b)
+            assert rows[i].first_byte == (b[0] if b else -1)
+            assert rows[i].mean_byte == pytest.approx(
+                sum(b) / len(b) if b else 0.0
+            )
+            exp_hist = [0] * 16
+            for byte in b:
+                exp_hist[byte >> 4] += 1
+            assert list(rows[i].hist16) == exp_hist
+            exp_frames = []
+            n_frames = (len(b) + 6) // 7
+            for fi in range(0, n_frames, 2):
+                fr = b[fi * 7 : (fi + 1) * 7]
+                exp_frames.append((fi, len(fr), sum(fr), fr))
+            got = sorted(
+                (r.frame_idx, r.frame_len, r.frame_sum, bytes(r.frame))
+                for r in frames.get(i, [])
+            )
+            assert got == exp_frames, (i, t)
+
     def test_fake_decode_deterministic(self, media):
         out = {r.doc_id: r for r in decode_image(media).collect()}
         r = out[0]
