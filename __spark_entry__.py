@@ -1659,6 +1659,40 @@ def _polyfill_eq_oracle_sql(res=3):
     """
 
 
+def _lsh_cosine_topk_oracle_sql(k=5, dim=64, n_planes=4, seed=42):
+    """DuckDB twin of cosine_topk_lsh: the seed-42 hyperplanes are
+    regenerated and embedded as literal lists, the bucket is the sign
+    bits of the projections, and the exact cosine re-rank runs inside
+    the matching bucket."""
+    from rhealpixdggs_spark.operators.similarity import _hyperplanes
+    from rhealpixdggs_spark.oracle_sql import _r
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def lst(p):
+        return "[" + ", ".join(_r(x) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lst(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS MATERIALIZED (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+        d AS (SELECT q.query_id, b.vec_id,
+                round(list_dot_product(b.v, q.qv)
+                  / (sqrt(list_dot_product(b.v, b.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+              FROM b JOIN q ON b.bucket = q.bucket)
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM d) WHERE rank <= {k}
+    """
+
+
 def _zone_catchment_oracle_sql():
     """The reference's published ground-truth zone for catchment
     12104622 (tests/test_conversion.py:58-538) as a literal oracle."""
@@ -1988,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "polyfill_eq": _polyfill_eq_oracle_sql(3),
         "zone_catchment": _zone_catchment_oracle_sql(),
+        "lsh_cosine_topk": _lsh_cosine_topk_oracle_sql(k=5, dim=64, n_planes=4),
         "minhash_sig": f"""
             SELECT doc_id, {', '.join(f'mh_{i}' for i in range(8))}
             FROM ({_minhash_sig_sql('SELECT doc_id, text FROM documents', 8)})
@@ -2068,12 +2103,14 @@ def oracle_sql() -> dict[str, str]:
         # Intentionally rows-only (no SQL twin): kring_sizes,
         # cell_geometry, neighbors (ring walks / ellipsoidal inverse
         # ordering), s2_cross_index, hex7_cross_index (Hilbert tables /
-        # icosahedral gnomonic), lsh_cosine_topk (random-projection
-        # buckets), linetrace, linetrace_many (polar centroid
-        # quadrature + neighbor walks), image_decode (fake-codec stub).
-        # None are SQL-expressible in DuckDB; the driver records
-        # rows-only checks and pytest pins their values against
-        # reference golden fixtures (tests/test_kernel_*).
+        # icosahedral gnomonic), polyfill / region_cover /
+        # zone_from_poly (cap+dart geometry — their equatorial twins
+        # polyfill_eq / region_cover_ell / zone_catchment ARE SQL-
+        # gated), linetrace, linetrace_many (polar centroid quadrature
+        # + neighbor walks), image_decode (fake-codec stub). None are
+        # SQL-expressible in DuckDB; the driver records rows-only
+        # checks and pytest pins their values against reference golden
+        # fixtures (tests/test_kernel_*, test_tiling_distributed).
     }
 
 

@@ -248,7 +248,8 @@ def k_ring(cell, k: int = 1) -> np.ndarray:
     [n, 3k(k+1)+1] ids. Face-local (no cross-face wrap)."""
     cell = np.asarray(cell, dtype=np.int64)
     face, res, z0a, z0b = unpack(cell)
-    r = int(res[0])
+    r = int(res[0]) if res.size else 0
+    assert (res == r).all(), "k_ring expects uniform resolution"
     digs = _digits_of(cell, r)
     za, zb = _build_z(z0a, z0b, digs)
     offs = [

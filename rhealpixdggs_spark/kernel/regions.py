@@ -140,17 +140,17 @@ def cell_latitudes(
     if y <= y_min:
         dy = y_min - y
         y = max(y + int(np.ceil(dy / w)) * w, y + w)
-    result = []
+    acc = []
     while y < y_max:
-        result.append(y)
+        acc.append(y)
         y += w
     if not plane:
-        arr = np.array(result, dtype=np.float64)
+        arr = np.array(acc, dtype=np.float64)
         if arr.size:
-            result = list(
+            acc = list(
                 healpix_inverse_cfg(cfg, np.full(arr.shape, R * pi / 4), arr)[1]
             )
-    return result
+    return acc
 
 
 def intersects_meridian(cfg: DggsConfig, suid: str, lam: float) -> bool:
@@ -196,23 +196,23 @@ def cells_from_meridian(
     phis = cell_latitudes(cfg, resolution, phi_min, phi_max, True, plane=False)
     if not phis:
         return [start, end]
-    result = []
+    acc = []
     for phi in reversed(phis):
         c = encode1(cfg, lam, phi, resolution)
-        new_cells = [c]
+        step_cells = [c]
         if _shape1(cfg, c) in (2, 3):  # dart, skew_quad
             west = _neighbor1(cfg, c, "west", plane=False)
             east = _neighbor1(cfg, c, "east", plane=False)
             if intersects_meridian(cfg, west, lam):
-                new_cells = [west, c]
+                step_cells = [west, c]
             elif intersects_meridian(cfg, east, lam):
-                new_cells = [c, east]
-        result.extend(new_cells)
-    if start not in result[0:2]:
-        result.insert(0, start)
-    if end not in result[-1:-3]:
-        result.append(end)
-    return result
+                step_cells = [c, east]
+        acc.extend(step_cells)
+    if start not in acc[0:2]:
+        acc.insert(0, start)
+    if end not in acc[-1:-3]:
+        acc.append(end)
+    return acc
 
 
 def cells_from_parallel(
@@ -229,13 +229,13 @@ def cells_from_parallel(
         if _shape1(cfg, start) == 1 or lam_max - lam_min < PI / 2:
             return [start]
         end = _neighbor1(cfg, start, "west", plane=False)
-    result = []
-    current = start
-    while current != end:
-        result.append(current)
-        current = _neighbor1(cfg, current, "east", plane=False)
-    result.append(end)
-    return result
+    acc = []
+    cur = start
+    while cur != end:
+        acc.append(cur)
+        cur = _neighbor1(cfg, cur, "east", plane=False)
+    acc.append(end)
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -291,21 +291,21 @@ def cells_from_region(
             return []
         if ul_c == dr_c:
             return [[ul_c]]
-        result = []
+        acc = []
         row_start, row_end = ul_c, ur
         while True:
             row = []
-            current = row_start
-            while current != row_end:
-                row.append(current)
-                current = _neighbor1(cfg, current, "right", plane=True)
-            row.append(current)
-            result.append(row)
-            if current == dr_c:
+            cur = row_start
+            while cur != row_end:
+                row.append(cur)
+                cur = _neighbor1(cfg, cur, "right", plane=True)
+            row.append(cur)
+            acc.append(row)
+            if cur == dr_c:
                 break
             row_start = _neighbor1(cfg, row_start, "down", plane=True)
             row_end = _neighbor1(cfg, row_end, "down", plane=True)
-        return result
+        return acc
     # Ellipsoidal quad or cap (dggs.py:1298-1331).
     phi_min, phi_max = dr[1], ul[1]
     phis = cell_latitudes(cfg, resolution, phi_min, phi_max, True, plane)
@@ -316,16 +316,16 @@ def cells_from_region(
         lam_min, lam_max = -PI, PI
     else:
         lam_min, lam_max = ul[0], dr[0]
-    result = []
+    acc = []
     for phi in reversed(phis):
-        result.append(cells_from_parallel(cfg, resolution, phi, lam_min, lam_max))
+        acc.append(cells_from_parallel(cfg, resolution, phi, lam_min, lam_max))
     ul_cell = encode1(cfg, ul[0], ul[1], resolution)
-    if not result or result[0][0] != ul_cell:
-        result.insert(0, cells_from_parallel(cfg, resolution, phi_max, lam_min, lam_max))
+    if not acc or acc[0][0] != ul_cell:
+        acc.insert(0, cells_from_parallel(cfg, resolution, phi_max, lam_min, lam_max))
     dl_cell = encode1(cfg, ul[0], dr[1], resolution)
-    if not result or result[-1][0] != dl_cell:
-        result.append(cells_from_parallel(cfg, resolution, phi_min, lam_min, lam_max))
-    return result
+    if not acc or acc[-1][0] != dl_cell:
+        acc.append(cells_from_parallel(cfg, resolution, phi_min, lam_min, lam_max))
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -480,11 +480,11 @@ def cells_from_line(cfg: DggsConfig, resolution: int, lstart, lend, plane=True) 
         return []
     if start == end:
         return [start]
-    line_cells: list[str] = []
-    current = start
-    while current != end:
-        line_cells.append(current)
-        f, d = _one(current)
+    trace: list[str] = []
+    cur = start
+    while cur != end:
+        trace.append(cur)
+        f, d = _one(cur)
         if plane:
             nns = {
                 nm: str(suid_strings(*neighbor(cfg, f, d, nm))[0])
@@ -492,26 +492,26 @@ def cells_from_line(cfg: DggsConfig, resolution: int, lstart, lend, plane=True) 
             }
         else:
             nns = neighbors_ellipsoidal(cfg, f, d)[0]
-        following = None
+        nxt = None
         for key in nns:
             nn = nns[key]
             verts = _vertices1(cfg, nn, plane=plane)
             verts = [tuple(v) for v in verts]
             verts.append(verts[0])
             for edge in zip(verts, verts[1:]):
-                if following:
+                if nxt:
                     break
                 edge = antimeridian_check_and_flip(cfg, list(edge), plane=plane)
                 if (
                     _segments_intersect(tuple(lstart), tuple(lend), edge[0], edge[1])
-                    and nn not in line_cells
+                    and nn not in trace
                 ):
-                    following = nn
-            if following:
+                    nxt = nn
+            if nxt:
                 break
-        current = end if not following else following
-    line_cells.append(end)
-    return line_cells
+        cur = end if not nxt else nxt
+    trace.append(end)
+    return trace
 
 
 def linetrace(cfg: DggsConfig, lines, res: int, plane: bool = True) -> list[str]:

@@ -1,12 +1,18 @@
-"""Tile-table construction: full grids, polygon covers, zones.
+"""Tile-table construction: full grids, region covers, polygon
+covers, zones.
 
 Grid generation is the SURVEY section 2.4 plan: cells at resolution k
 are exactly the level-order indices [ind(k), ind(k+1)), so
 spark.range + the index->suid kernel generates any slice of the grid
 embarrassingly parallel — no successor chain, no driver loop.
-Polygon covers (polyfill) run driver-side on NumPy — polygon counts
-are tiny next to the pages table — and land in a broadcastable
-DataFrame."""
+
+Region covers and polyfill are distributed by default
+(region_cover_df / region_cover_ell_df / polyfill_df): candidates come
+from closed-form row/column spans, geometry decode is one Arrow pass,
+containment is pure column math — a continent-scale res-9 cover never
+touches the driver. polyfill_tiles remains as the driver-side NumPy
+fast path for a handful of small polygons whose result should land in
+a broadcastable local DataFrame."""
 
 from __future__ import annotations
 

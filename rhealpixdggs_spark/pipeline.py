@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from .functions.udfs import rhp_encode
 from .kernel.constants import WGS84_003, DggsConfig
-from .operators.joins import cell_agg, containment_join
+from .operators.joins import containment_join
 from .operators.tiling import grid
 from .sources.pages import extract_geotags
 
@@ -47,24 +47,58 @@ def pages_per_tile(
 ) -> DataFrame:
     """Per-coarse-tile page count + distinct-language count.
 
-    Hierarchy containment is the substring rollup (no join needed when
-    tiles are the full grid); with n_salt > 0 the count aggregation is
-    two-phase salted for hot urban cells."""
-    # encode_pages already filtered null geotags; geodetic encode is
-    # total, so no UDF-output filter (it would re-instantiate the UDF).
-    enc = encode_pages(pages, resolution, cfg)
-    keyed = enc.withColumn("tile_id", F.substring("cell_id", 1, tile_res + 1))
+    Packed scale path (default): the encode UDF emits the int64
+    level-order key — 8 bytes through Arrow and the shuffle instead of
+    a 10-char suid string — the hierarchy rollup is pure integer
+    division (rhp_index_parent), and suid strings materialize only on
+    the aggregated side (one decode pass over #tiles rows, not #pages).
+    With n_salt > 0 the count aggregation is two-phase salted for hot
+    urban cells."""
+    from .functions.udfs import rhp_encode_index, rhp_index_parent, rhp_index_to_suid
+
+    tagged = extract_geotags(pages).where(F.col("lon").isNotNull())
+    # Arrow-batched packed encode: an 8-byte int64 key through the
+    # shuffle. (The pure-column encode in functions.column_encode is
+    # 1.6x faster per core on bare chains but pays seconds of Catalyst
+    # planning in composed plans — see its module docstring — so the
+    # Arrow kernel stays the pipeline default.)
+    enc = tagged.withColumn(
+        "cell_idx", rhp_encode_index(F.col("lon"), F.col("lat"), resolution, cfg)
+    )
+    keyed = enc.select(
+        rhp_index_parent(F.col("cell_idx"), resolution, tile_res, cfg).alias(
+            "tile_idx"
+        ),
+        "lang",
+    )
+    # Distinct-language counting uses HLL sketches in BOTH paths so the
+    # salted two-phase plan (partial sketches per salt group, lossless
+    # hll_union merge) returns byte-identical estimates to the plain
+    # single-phase plan — one aggregation chain, no branch-and-rejoin
+    # of the encode subtree.
     if n_salt > 0:
-        counts = cell_agg(
-            keyed.select("tile_id"), "tile_id", {"n_pages": F.count(F.lit(1))}, n_salt
+        salt = F.pmod(
+            F.hash(F.col("tile_idx"), F.col("lang"), F.spark_partition_id()),
+            F.lit(n_salt),
         )
-        langs = keyed.groupBy("tile_id").agg(
-            F.approx_count_distinct("lang").alias("n_langs")
+        partial = keyed.groupBy("tile_idx", salt.alias("_salt")).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.hll_sketch_agg("lang").alias("_sk"),
         )
-        return counts.join(langs, "tile_id")
-    return keyed.groupBy("tile_id").agg(
-        F.count(F.lit(1)).alias("n_pages"),
-        F.approx_count_distinct("lang").alias("n_langs"),
+        agg = partial.groupBy("tile_idx").agg(
+            F.sum("_n").alias("n_pages"),
+            F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("n_langs"),
+        )
+    else:
+        agg = keyed.groupBy("tile_idx").agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("lang")).alias("n_langs"),
+        )
+    return agg.select(
+        rhp_index_to_suid(F.col("tile_idx"), tile_res, cfg).alias("tile_id"),
+        "tile_idx",
+        "n_pages",
+        "n_langs",
     )
 
 
@@ -127,9 +161,17 @@ def full_grid_rollup(
     cfg: DggsConfig = WGS84_003,
 ) -> DataFrame:
     """Left join of the complete tile grid against page counts —
-    includes empty tiles (grid generated distributed via spark.range)."""
-    tiles = grid(spark, tile_res, cfg).withColumnRenamed("cell_id", "tile_id")
-    counts = pages_per_tile(pages, resolution, tile_res, cfg)
-    return tiles.join(counts, "tile_id", "left").fillna(
-        {"n_pages": 0, "n_langs": 0}
+    includes empty tiles (grid generated distributed via spark.range).
+    The join key is the packed int64 tile index on both sides; suid
+    strings come from the grid side."""
+    tiles = (
+        grid(spark, tile_res, cfg)
+        .withColumnRenamed("cell_id", "tile_id")
+        .withColumnRenamed("cell_idx", "tile_idx")
+    )
+    counts = pages_per_tile(pages, resolution, tile_res, cfg).drop("tile_id")
+    return (
+        tiles.join(counts, "tile_idx", "left")
+        .fillna({"n_pages": 0, "n_langs": 0})
+        .select("tile_id", "n_pages", "n_langs")
     )

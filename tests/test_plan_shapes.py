@@ -192,6 +192,35 @@ class TestRegionCoverDf:
         assert len(rows) < span or max(r.col_i for r in rows) > 0
 
 
+class TestDistributedCoverPlans:
+    def test_polyfill_cover_is_not_driver_materialized(self, spark):
+        """Round-1 verdict item 4: the ellipsoidal polyfill candidates
+        must come from a distributed generator (spark.range column
+        span), not a driver-side kernel + createDataFrame of all
+        cells. Only the per-row walk table (#rows, not #cells) may be
+        a local relation."""
+        from __spark_entry__ import EURO_RING
+        from rhealpixdggs_spark.operators.tiling import polyfill_df
+
+        df = polyfill_df(spark, {"euro": [(EURO_RING, [])]}, res=3, plane=False)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Range (" in plan  # distributed column-span generation
+        # even-odd containment is column math, not a second UDF pass
+        exec_plan = _plan(df)
+        assert "BatchEvalPython" not in exec_plan
+
+    def test_headline_rollup_shuffles_int64_not_strings(self, spark):
+        """The pages rollup's shuffle key is the packed int64 index;
+        suid strings only materialize after aggregation (#tiles rows)."""
+        from rhealpixdggs_spark.pipeline import pages_per_tile
+        from rhealpixdggs_spark.sources.pages import synthesize_pages
+
+        out = pages_per_tile(synthesize_pages(spark, 500, partitions=2), 9, 2)
+        plan = _plan(out)
+        assert "hashpartitioning(tile_idx" in plan
+        assert "substring" not in plan.lower()
+
+
 class TestGridScale:
     def test_res6_grid_generates_distributed(self, spark):
         """3.19M cells from spark.range + the index codec — no driver
