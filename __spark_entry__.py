@@ -2044,8 +2044,9 @@ def oracle_sql() -> dict[str, str]:
             f AS (SELECT *, CASE WHEN prev IS NULL
                    OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS ns
                   FROM o),
-            s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+            s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
                   FROM f)
             SELECT user_id, session_id, count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
