@@ -255,6 +255,31 @@ def _q_kring_sizes(spark, sf_dir):
     )
 
 
+def _q_kring_interior(spark, sf_dir):
+    """k_ring walk under the SQL gate: for res-3 cells at least k=2
+    rows/cols from every face edge, the filled disk has exactly
+    1 + 8 + 16 = 25 DISTINCT members and never crosses a face; the
+    oracle re-derives the same interior set from independent digit
+    arithmetic with the closed-form size."""
+    res, k = 3, 2
+    side = 3**res
+    cells = (
+        _points(spark, sf_dir, "customer")
+        .select(rhp_encode(F.col("lon"), F.col("lat"), res).alias("cell_id"))
+        .distinct()
+    )
+    row, col = _row_col_cols(res)
+    interior = cells.where(
+        row.between(k, side - 1 - k) & col.between(k, side - 1 - k)
+    )
+    return interior.select(
+        "cell_id",
+        F.size(F.array_distinct(rhp_k_ring(F.col("cell_id"), k))).alias(
+            "ring_size"
+        ),
+    )
+
+
 def _q_cell_geometry(spark, sf_dir):
     tiles = (
         _points(spark, sf_dir, "customer")
@@ -1311,6 +1336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "embedding_norms": _q_embedding_norms,
         "events_window": _q_events_window,
+        # -- oracle-backed tail continued
+        "kring_interior": _q_kring_interior,
         # -- rows-only (no SQL twin; see oracle_sql() tail comment)
         "kring_sizes": _q_kring_sizes,
         "cell_geometry": _q_cell_geometry,
@@ -2023,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "polyfill_eq": _polyfill_eq_oracle_sql(3),
         "zone_catchment": _zone_catchment_oracle_sql(),
         "lsh_cosine_topk": _lsh_cosine_topk_oracle_sql(k=5, dim=64, n_planes=4),
+        "kring_interior": _kring_interior_oracle_sql(),
         "minhash_sig": f"""
             SELECT doc_id, {', '.join(f'mh_{i}' for i in range(8))}
             FROM ({_minhash_sig_sql('SELECT doc_id, text FROM documents', 8)})
@@ -2194,6 +2222,29 @@ def _neighbors_interior_oracle_sql() -> str:
           {suid('r', 'c + 1')} AS "right"
         FROM rc
         WHERE r BETWEEN 1 AND {side - 2} AND c BETWEEN 1 AND {side - 2}
+    """
+
+
+def _kring_interior_oracle_sql() -> str:
+    res, k = 3, 2
+    side = 3**res
+    enc = rhp_encode_sql(CUSTOMER_POINTS_SQL, res)
+    row = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) // 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    col = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) % 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    size = 1 + sum(8 * i for i in range(1, k + 1))
+    return f"""
+        WITH e AS MATERIALIZED ({enc}),
+        cells AS (SELECT DISTINCT cell_id FROM e),
+        rc AS (SELECT cell_id, ({row}) AS r, ({col}) AS c FROM cells)
+        SELECT cell_id, CAST({size} AS INT) AS ring_size
+        FROM rc
+        WHERE r BETWEEN {k} AND {side - 1 - k} AND c BETWEEN {k} AND {side - 1 - k}
     """
 
 
