@@ -1078,6 +1078,42 @@ def _q_streaming_window(spark, sf_dir):
     )
 
 
+def _q_streaming_geo_counts(spark, sf_dir):
+    """Structured Streaming x geospatial encode: the orders-derived
+    points replayed through a file-source stream, res-3 rHEALPix
+    encode INSIDE the stream (Arrow UDFs run per micro-batch), per-cell
+    counts in complete mode under Trigger.AvailableNow — output must
+    equal the batch/DuckDB plan on the same rows."""
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="rhp_stream_geo_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/orders.parquet"),
+        os.path.join(src, "orders.parquet"),
+    )
+    static = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    pts = stream.select(
+        F.col("o_orderkey").alias("pid"),
+        (((F.col("o_orderkey") * 9973) % 360000) / 1000.0 - 180.0).alias("lon"),
+        (((F.col("o_orderkey") * 7919) % 178000) / 1000.0 - 89.0).alias("lat"),
+    )
+    enc = pts.withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 3))
+    agg = enc.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    name = "rhp_stream_geo_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rhp_sgc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("cell_id", "n")
+
+
 def _q_tpch_shipping_priority(spark, sf_dir):
     """TPC-H Q3 analogue: top-10 unshipped orders by revenue for one
     market segment."""
@@ -1338,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         # -- oracle-backed tail continued
         "kring_interior": _q_kring_interior,
+        "streaming_geo_counts": _q_streaming_geo_counts,
         # -- rows-only (no SQL twin; see oracle_sql() tail comment)
         "kring_sizes": _q_kring_sizes,
         "cell_geometry": _q_cell_geometry,
@@ -2051,6 +2088,10 @@ def oracle_sql() -> dict[str, str]:
         "zone_catchment": _zone_catchment_oracle_sql(),
         "lsh_cosine_topk": _lsh_cosine_topk_oracle_sql(k=5, dim=64, n_planes=4),
         "kring_interior": _kring_interior_oracle_sql(),
+        "streaming_geo_counts": f"""
+            WITH enc AS MATERIALIZED ({enc3})
+            SELECT cell_id, count(*) AS n FROM enc GROUP BY cell_id
+        """,
         "minhash_sig": f"""
             SELECT doc_id, {', '.join(f'mh_{i}' for i in range(8))}
             FROM ({_minhash_sig_sql('SELECT doc_id, text FROM documents', 8)})
