@@ -394,7 +394,12 @@ def polyfill_df(
     the centroid decode is one Arrow pass (rhp_centroid), and the
     even-odd containment filter is a pure column expression
     (points_in_polygon_col) — no driver-side cell list at any point.
-    Output: (tile_id, res, zone)."""
+    Output: (tile_id, res, zone).
+
+    Limitation (same as the reference's bbox assumption,
+    rhp_wrappers.py:510-599): polygon rings must not cross the
+    antimeridian — split dateline-wrapping rings at +/-180 into two
+    polygons of the same zone first."""
     from ..functions.udfs import rhp_centroid
 
     zones = []
