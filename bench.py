@@ -101,22 +101,24 @@ def run_headline(spark, sf_dir: str) -> dict:
     pages_per_sec = n_pages / sec
 
     def _minhash_scale_path(spark, sf_dir):
-        # The contract query pins hash_fn='md5' (portable, oracle-
-        # checkable, ~5x slower); the headline number is the xxhash64
-        # scale path a production pipeline would run.
+        # The contract query minhash_sig pins hash_fn='md5' (portable,
+        # oracle-checkable, ~5x slower); this separately-named entry is
+        # the xxhash64 scale path a production pipeline would run. Both
+        # are timed so the gated query's own number stays visible.
         from rhealpixdggs_spark.operators.dedup import minhash_signatures
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return minhash_signatures(docs, num_hashes=8)
 
     qs = dict(entrymod.queries())
-    qs["minhash_sig"] = _minhash_scale_path
+    qs["minhash_sig_xxhash64"] = _minhash_scale_path
     for name in [
         "encode_points_res9",
         "parent_rollup",
         "containment_join",
         "knn_rings",
         "minhash_sig",
+        "minhash_sig_xxhash64",
         "cosine_topk",
         "tpch_pricing",
         "revenue_by_nation",

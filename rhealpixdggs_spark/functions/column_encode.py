@@ -77,7 +77,29 @@ def _ndb(col: Column) -> Column:
 def _project_stages(df: DataFrame, lon: Column, lat: Column,
                     cfg: DggsConfig, wrap: bool) -> DataFrame:
     """Append staged projection columns _re_face/_re_drow/_re_dcol
-    (resolution-independent planar coordinates come first)."""
+    (resolution-independent planar coordinates come first).
+
+    The column port hardcodes the default frame: degree input
+    (F.radians below), +/-180 wrap, lon_0 = lat_0 = 0, and
+    north_square = south_square = 0 in the face dispatch and UL-vertex
+    band arithmetic. The Arrow kernel honors cfg.radians / lon_0 /
+    north_square (kernel/rhealpix.py, kernel/cells.py); until this
+    port derives those from cfg too, reject configs it would silently
+    mis-encode (e.g. WGS84_003_RADIANS, UNIT_003_RADIANS, shifted
+    polar squares)."""
+    if (
+        cfg.radians
+        or cfg.north_square != 0
+        or cfg.south_square != 0
+        or cfg.lon_0 != 0.0
+        or cfg.lat_0 != 0.0
+    ):
+        raise ValueError(
+            "column_encode supports only degree-input configs with "
+            "lon_0=lat_0=0 and north_square=south_square=0; use the "
+            "Arrow kernel path (functions.udfs.rhp_encode) for "
+            f"config {cfg!r}"
+        )
     c2, c4, c6, c8, c10, c12 = _series_coeffs(cfg.e)
     R = float(cfg.R_A)
     Rp4, R3p4 = R * _PI / 4, R * 3 * _PI / 4

@@ -255,6 +255,7 @@ def knn_join_rings_adaptive(
     ring_k: int = 1,
     max_ring_k: int = 8,
     query_id: str = "query_id",
+    reliable_checkpoint: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Ring-expansion kNN with straggler re-expansion: queries whose
@@ -269,7 +270,22 @@ def knn_join_rings_adaptive(
     round's satisfied rows and the shrinking query table are
     localCheckpoint'ed so the per-round cache can be released
     immediately — no driver-side id list, no unbounded lineage, no
-    cache leak at millions of queries."""
+    cache leak at millions of queries.
+
+    Fault-tolerance trade-off: localCheckpoint truncates lineage to
+    executor-local blocks, so on a real cluster an executor loss
+    mid-loop loses prior rounds' satisfied rows and fails the job
+    (retry from scratch). For long-running cluster jobs where that
+    risk matters, set `reliable_checkpoint=True` after
+    `spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)` — same
+    lineage truncation, blocks persisted to the shared filesystem and
+    recoverable after executor loss, at the cost of a write per
+    round."""
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable_checkpoint else (
+            df.localCheckpoint(eager=True)
+        )
+
     remaining = queries
     parts = []
     rk = ring_k
@@ -277,11 +293,11 @@ def knn_join_rings_adaptive(
         out = knn_join_rings(
             points, remaining, k, ring_k=rk, res=res, query_id=query_id, **kwargs
         ).cache()
-        satisfied = out.where(F.col("n_cand") >= k).localCheckpoint(eager=True)
+        satisfied = _ckpt(out.where(F.col("n_cand") >= k))
         parts.append(satisfied)
-        remaining = remaining.join(
+        remaining = _ckpt(remaining.join(
             satisfied.select(query_id).distinct(), query_id, "left_anti"
-        ).localCheckpoint(eager=True)
+        ))
         out.unpersist()
         if remaining.isEmpty():
             break
