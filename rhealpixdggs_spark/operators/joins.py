@@ -315,17 +315,22 @@ def polygon_join(
     cfg: DggsConfig = WGS84_003,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    max_driver_cells: int = 100_000,
 ) -> DataFrame:
     """Point-in-polygon spatial join against a (small) polygon table —
     the north-star "point-in-polygon tests against tile boundaries"
     as a two-phase plan:
 
       1. prefilter: each polygon's bbox is covered with res-`res`
-         cells (kernel cells_from_region, driver-side — polygon counts
-         are tiny next to the pages table); the candidate (zone,
-         cell_id) table broadcasts and equi-joins against the points'
-         encoded cell — at 100 TB this prunes the scan to the
-         polygons' neighborhoods with no shuffle of the big side;
+         cells; the candidate (zone, cell_id) table broadcasts and
+         equi-joins against the points' encoded cell — at 100 TB this
+         prunes the scan to the polygons' neighborhoods with no
+         shuffle of the big side. Small covers (estimated <=
+         `max_driver_cells` cells) use the NumPy kernel driver-side;
+         larger ones (high res / continental bboxes — millions of
+         cells) are generated by the DISTRIBUTED cover
+         (region_cover_ell_df: spark.range column spans + one encode
+         pass), so the driver never materializes the cell list;
       2. refine: one Arrow pass of the even-odd ray-crossing kernel,
          vectorized per zone inside a single pandas UDF (no per-zone
          rescan).
@@ -346,9 +351,13 @@ def polygon_join(
     from ..functions.udfs import rhp_encode
     from ..kernel import regions as KR
 
+    from .tiling import region_cover_ell_df
+
     spark = points.sparkSession
     rows = []
+    big_parts = []
     lookup = {}
+    w = cfg.cell_width(res)
     for zone, ext, holes in polygons:
         lookup[zone] = (
             [(float(x), float(y)) for x, y in ext],
@@ -356,11 +365,29 @@ def polygon_join(
         )
         xs = [p[0] for p in ext]
         ys = [p[1] for p in ext]
-        cover = KR.cells_from_region(
-            cfg, res, (min(xs), max(ys)), (max(xs), min(ys)), plane=False
+        ul, dr = (min(xs), max(ys)), (max(xs), min(ys))
+        # planar row x column estimate of the bbox cover size
+        _, y_lo = KR.healpix_forward_cfg(
+            cfg, np.array([0.0]), np.array([dr[1]], dtype=np.float64)
         )
-        rows += [(zone, str(c)) for row in cover for c in row]
-    cand = spark.createDataFrame(rows, ["zone", "cell_id"]).distinct()
+        _, y_hi = KR.healpix_forward_cfg(
+            cfg, np.array([0.0]), np.array([ul[1]], dtype=np.float64)
+        )
+        n_rows_est = (float(y_hi[0]) - float(y_lo[0])) / w + 2
+        n_cols_est = cfg.R_A * np.radians(dr[0] - ul[0]) / w + 2
+        if n_rows_est * n_cols_est <= max_driver_cells:
+            cover = KR.cells_from_region(cfg, res, ul, dr, plane=False)
+            rows += [(zone, str(c)) for row in cover for c in row]
+        else:
+            big_parts.append(
+                region_cover_ell_df(spark, res, ul, dr, cfg).select(
+                    F.lit(zone).alias("zone"), F.col("cell_id")
+                )
+            )
+    cand = spark.createDataFrame(rows, "zone string, cell_id string")
+    for p in big_parts:
+        cand = cand.unionByName(p)
+    cand = cand.distinct()
 
     @pandas_udf(T.BooleanType())
     def _pip_zone(lo: pd.Series, la: pd.Series, zo: pd.Series) -> pd.Series:

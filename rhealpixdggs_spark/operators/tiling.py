@@ -97,15 +97,25 @@ def tile_boundaries(tiles: DataFrame, cfg: DggsConfig = WGS84_003,
 
 
 def compress_cells_df(cells: DataFrame, cell_col: str = "cell_id",
-                      cfg: DggsConfig = WGS84_003) -> DataFrame:
+                      cfg: DggsConfig = WGS84_003,
+                      checkpoint_every: int = 3) -> DataFrame:
     """Distributed compress_order_cells (conversion.py:114-135): replace
     any complete set of N_side^2 siblings by the parent, iteratively to
-    fixpoint. Pure groupBy/union per level — no UDF."""
+    fixpoint. Pure groupBy/union per level — no UDF.
+
+    Each level chains a groupBy + left_anti + union onto the previous
+    plan, so a res-15 input would otherwise carry a 14-deep nested-union
+    lineage into every level's isEmpty() action — Catalyst re-analyzes
+    the whole tree per level (planning, not execution, becomes the
+    bottleneck). The working set is localCheckpoint'ed every
+    `checkpoint_every` levels to keep plan depth O(checkpoint_every)
+    regardless of input resolution; each checkpoint materializes only
+    the (shrinking) compressed set."""
     n_child = cfg.N_side**2
     out = cells.select(F.col(cell_col).alias("cell_id")).distinct()
     # Longest suid bounds the number of iterations.
     max_len = out.agg(F.max(F.length("cell_id"))).collect()[0][0] or 1
-    for _ in range(int(max_len) - 1):
+    for level in range(int(max_len) - 1):
         parents = (
             out.where(F.length("cell_id") > 1)
             .groupBy(F.expr("substring(cell_id, 1, length(cell_id)-1)").alias("parent"))
@@ -121,6 +131,8 @@ def compress_cells_df(cells: DataFrame, cell_col: str = "cell_id",
             "left_anti",
         )
         out = merged.unionByName(parents.select(F.col("parent").alias("cell_id")))
+        if (level + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint(eager=True)
     return out
 
 
