@@ -925,16 +925,18 @@ def _q_region_cover_ell(spark, sf_dir):
 
 
 def _q_zone_catchment(spark, sf_dir):
-    """CellZoneFromPoly parity on the reference's published catchment
-    polygon; the oracle is the reference's own 254-cell ground-truth
-    list (reference tests/test_conversion.py:58-538)."""
-    from rhealpixdggs_spark.kernel.zones import zone_from_poly
+    """DISTRIBUTED CellZoneFromPoly parity on the reference's published
+    catchment polygon (zone_from_poly_df: per-level explode + one
+    Arrow classify pass, frontier = zone perimeter — no driver-side
+    cell list); the oracle is the reference's own 254-cell
+    ground-truth list (reference tests/test_conversion.py:58-538,
+    vendored in rhealpixdggs_spark/data/)."""
+    from rhealpixdggs_spark.operators.tiling import zone_from_poly_df
 
     coords, _ = _catchment_golden()
-    cells = zone_from_poly(WGS84_003, [(coords, ())], res_limit=9)
-    return spark.createDataFrame(
-        sorted((str(c), len(c) - 1) for c in cells), ["cell_id", "res"]
-    )
+    return zone_from_poly_df(
+        spark, [(coords, ())], res_limit=9
+    ).select("cell_id", F.col("res").cast("long").alias("res")).orderBy("cell_id")
 
 
 def _catchment_golden():
@@ -966,12 +968,14 @@ def _q_region_cover_planar(spark, sf_dir):
 
 
 def _q_zone_from_poly(spark, sf_dir):
-    from rhealpixdggs_spark.kernel.zones import zone_from_poly
+    """Distributed multi-resolution zone of the dart-reaching euro ring
+    (zone_from_poly_df); kernel-equality pinned in
+    tests/test_tiling_distributed.py."""
+    from rhealpixdggs_spark.operators.tiling import zone_from_poly_df
 
-    cells = zone_from_poly(WGS84_003, [(EURO_RING, [])], res_limit=3)
-    return spark.createDataFrame(
-        [(str(c), len(c) - 1) for c in cells], ["cell_id", "res"]
-    )
+    return zone_from_poly_df(
+        spark, [(EURO_RING, [])], res_limit=3
+    ).select("cell_id", F.col("res").cast("long").alias("res")).orderBy("cell_id")
 
 
 def _q_linetrace(spark, sf_dir):

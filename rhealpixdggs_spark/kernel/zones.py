@@ -108,6 +108,81 @@ def _cell_ring_ellipsoidal(cfg: DggsConfig, suid: str) -> np.ndarray:
     return np.asarray(vertices(cfg, f, d, plane=False)[0])
 
 
+def _points_in_rings_batch(px, py, rings: np.ndarray) -> np.ndarray:
+    """Even-odd ray crossing of M points against N 4-vertex rings,
+    broadcast to (N, M) — the same formula as regions.points_in_ring,
+    with horizontal edges contributing no crossing."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    a0 = rings
+    a1 = np.roll(rings, -1, axis=1)
+    x1, y1 = a0[:, :, 0][:, :, None], a0[:, :, 1][:, :, None]  # (N,4,1)
+    x2, y2 = a1[:, :, 0][:, :, None], a1[:, :, 1][:, :, None]
+    crosses = (y1 > py) != (y2 > py)  # (N,4,M)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    return np.bitwise_xor.reduce(crosses & (px < xin), axis=1)  # (N,M)
+
+
+def _crossings_batch(rings: np.ndarray, geom_rings) -> np.ndarray:
+    """Proper-crossing test (same orientation-sign predicate as
+    _proper_crossings) between each of N cell rings and any geometry
+    ring, vectorized to (N, 4, M) per geometry ring."""
+    a0 = rings
+    a1 = np.roll(rings, -1, axis=1)
+    ax0, ay0 = a0[:, :, 0][:, :, None], a0[:, :, 1][:, :, None]  # (N,4,1)
+    ax1, ay1 = a1[:, :, 0][:, :, None], a1[:, :, 1][:, :, None]
+    out = np.zeros(rings.shape[0], dtype=bool)
+
+    def orient(p0x, p0y, p1x, p1y, qx, qy):
+        return np.sign((p1x - p0x) * (qy - p0y) - (p1y - p0y) * (qx - p0x))
+
+    for ring in geom_rings:
+        b0, b1 = _edges(ring)
+        bx0, by0 = b0[:, 0], b0[:, 1]  # (M,)
+        bx1, by1 = b1[:, 0], b1[:, 1]
+        o1 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+        o2 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+        o3 = orient(bx0, by0, bx1, by1, ax0, ay0)
+        o4 = orient(bx0, by0, bx1, by1, ax1, ay1)
+        out |= ((o1 * o2 < 0) & (o3 * o4 < 0)).any(axis=(1, 2))
+    return out
+
+
+def classify_batch(cfg: DggsConfig, suids: np.ndarray, geom: _Geometry):
+    """(contains, overlaps, nucleus_in) for a batch of cells against one
+    geometry — the per-level predicate of the distributed zone loop
+    (operators/tiling.zone_from_poly_df). Bitwise-identical semantics
+    to contains_ring / overlaps_ring / the nucleus test in
+    zone_from_poly below, evaluated for N cells at once: one
+    points-in-polygon pass over the 4N vertices, one (N,4,M)
+    orientation-sign crossing pass per geometry ring."""
+    suids = np.asarray(suids, dtype=str)
+    n = suids.shape[0]
+    if n == 0:
+        z = np.zeros(0, dtype=bool)
+        return z, z.copy(), z.copy()
+    f, d = parse_suids(suids)
+    rings = np.asarray(vertices(cfg, f, d, plane=False))  # (N,4,2)
+    inside = geom.contains_points(
+        rings[:, :, 0].ravel(), rings[:, :, 1].ravel()
+    ).reshape(n, 4)
+    allin = inside.all(axis=1)
+    anyin = inside.any(axis=1)
+    cross = _crossings_batch(rings, list(geom.rings()))
+    contains = allin & ~cross
+    # Disjoint-vertex case of overlaps_ring: a geometry vertex pokes
+    # into the cell (some but not all exterior vertices inside it).
+    poke = np.zeros(n, dtype=bool)
+    for ext, _holes in geom.polys:
+        gin = _points_in_rings_batch(ext[:, 0], ext[:, 1], rings)
+        poke |= gin.any(axis=1) & ~gin.all(axis=1)
+    overlaps = (anyin & ~allin) | cross | (~anyin & poke)
+    lo, la = nucleus(cfg, f, d, plane=False)
+    nucleus_in = geom.contains_points(np.asarray(lo), np.asarray(la))
+    return contains, overlaps, nucleus_in
+
+
 def get_finest_containing_cell(cfg: DggsConfig, polygons) -> str | None:
     """Finest single cell wholly containing the geometry
     (conversion.py:7-36): recursive descent picking the first child
