@@ -281,19 +281,47 @@ def _q_kring_interior(spark, sf_dir):
 
 
 def _q_cell_geometry(spark, sf_dir):
-    tiles = (
-        _points(spark, sf_dir, "customer")
-        .withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 2))
-        .select("cell_id")
-        .distinct()
+    """Polar vertex decode against the reference's PUBLISHED doctest
+    values (cell.py:548-585 ul_vertex/nw_vertex table for quad, cap,
+    skew-quad and dart cells; cell.py:680-706 ellipsoidal vertices of
+    the N0 dart and S0 dart): planar ul/nw vertices for the six
+    nw_vertex doctest cells plus the 4 ellipsoidal vertices of N0/S0.
+    Long format (cell_id, kind, seq, vx, vy); the oracle is the
+    doctest table as a VALUES literal."""
+    from rhealpixdggs_spark.functions.udfs import rhp_nw_vertex
+
+    plane_cells = spark.createDataFrame(
+        [("P57",), ("S4",), ("N43",), ("S43",), ("N62",), ("S62",)],
+        "cell_id string",
     )
-    c = rhp_centroid(F.col("cell_id"))
-    b = rhp_boundary(F.col("cell_id"))
-    return tiles.select(
+    b = rhp_boundary(F.col("cell_id"), plane=True)
+    nw = rhp_nw_vertex(F.col("cell_id"))
+    ul_rows = plane_cells.select(
         "cell_id",
-        F.round(c["lon"], 6).alias("c_lon"),
-        F.round(c["lat"], 6).alias("c_lat"),
-        F.round(b[0]["lat"], 6).alias("nw_lat"),
+        F.lit("ul_plane").alias("kind"),
+        F.lit(0).cast("int").alias("seq"),
+        (F.round(b[0]["lon"], 2) + F.lit(0.0)).alias("vx"),
+        (F.round(b[0]["lat"], 2) + F.lit(0.0)).alias("vy"),
+    )
+    nw_rows = plane_cells.select(
+        "cell_id",
+        F.lit("nw_plane").alias("kind"),
+        F.lit(0).cast("int").alias("seq"),
+        (F.round(nw["lon"], 2) + F.lit(0.0)).alias("vx"),
+        (F.round(nw["lat"], 2) + F.lit(0.0)).alias("vy"),
+    )
+    ell_cells = spark.createDataFrame([("N0",), ("S0",)], "cell_id string")
+    ell_rows = ell_cells.select(
+        "cell_id", F.posexplode(rhp_boundary(F.col("cell_id"), plane=False))
+    ).select(
+        "cell_id",
+        F.lit("vert_ell").alias("kind"),
+        F.col("pos").cast("int").alias("seq"),
+        (F.round(F.col("col")["lon"], 6) + F.lit(0.0)).alias("vx"),
+        (F.round(F.col("col")["lat"], 6) + F.lit(0.0)).alias("vy"),
+    )
+    return ul_rows.unionByName(nw_rows).unionByName(ell_rows).orderBy(
+        "cell_id", "kind", "seq"
     )
 
 
@@ -979,23 +1007,49 @@ def _q_zone_from_poly(spark, sf_dir):
 
 
 def _q_linetrace(spark, sf_dir):
-    from rhealpixdggs_spark.kernel.regions import linetrace
+    """DISTRIBUTED linetrace (operators/tiling.linetrace_df) of a
+    constant-latitude segment at res 3: in the equatorial band cell
+    edges are meridians and authalic parallels, so the ellipsoidal
+    walk (dggs.py:1096-1179) visits exactly the consecutive global
+    columns of the row containing the latitude. The oracle re-derives
+    that column walk with pure integer arithmetic between the two
+    independently-encoded endpoints. The general multi-segment
+    polyline stays rows-only (linetrace_many)."""
+    from rhealpixdggs_spark.operators.tiling import linetrace_df
 
-    line = [(-20.0, 10.0), (15.0, 22.0), (40.0, -5.0)]
-    cells = linetrace(WGS84_003, [line], 3, plane=False)
-    return spark.createDataFrame(
-        [(i, str(c)) for i, c in enumerate(cells)], ["seq", "cell_id"]
+    seg = [(-19.9, 9.7), (40.1, 9.7)]
+    lines = spark.createDataFrame(
+        [(0, [{"lon": lo, "lat": la} for lo, la in seg])],
+        "line_id int, line array<struct<lon: double, lat: double>>",
     )
+    return linetrace_df(lines, 3, plane=False).select(
+        F.col("seq").cast("int").alias("seq"), "cell_id"
+    ).orderBy("seq")
 
 
 def _q_neighbors(spark, sf_dir):
-    """Ellipsoidal 4-neighborhood per tile (cell.py:1347-1446)."""
+    """Ellipsoidal 4-neighborhood (cell.py:1347-1378): the quad-cell
+    relabel (north=up, south=down, west=left, east=right) on
+    equatorial-band res-2 cells away from the band's top/bottom rows,
+    so every neighbor stays in the band and east/west wrap cyclically
+    across the four equatorial faces. The oracle re-derives all four
+    neighbors with pure integer row/global-column arithmetic + digit
+    interleave — no projection involved. Polar relabels (cap, dart,
+    skew quad) stay pinned by kernel-golden tests
+    (tests/test_kernel_neighbors.py)."""
     from rhealpixdggs_spark.functions.udfs import rhp_neighbors
 
+    res = 2
+    side = 3**res
+    row, _col = _row_col_cols(res)
     tiles = (
         _points(spark, sf_dir, "customer")
-        .select(rhp_encode(F.col("lon"), F.col("lat"), 2).alias("cell_id"))
+        .select(rhp_encode(F.col("lon"), F.col("lat"), res).alias("cell_id"))
         .distinct()
+        .where(
+            F.substring("cell_id", 1, 1).isin("O", "P", "Q", "R")
+            & row.between(1, side - 2)
+        )
     )
     nb = tiles.select(
         "cell_id", F.explode(rhp_neighbors(F.col("cell_id"), plane=False)).alias(
@@ -1385,16 +1439,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": _q_knn_brute,
         "cell_metrics": _q_cell_metrics,
         "topk_cells": _q_topk_cells,
-        # -- rows-only (no SQL twin; see oracle_sql() tail comment)
-        "kring_sizes": _q_kring_sizes,
+        # -- oracle-backed, added round 3 (never yet driver-windowed)
         "cell_geometry": _q_cell_geometry,
         "neighbors": _q_neighbors,
+        "linetrace": _q_linetrace,
+        # -- rows-only (no SQL twin; see oracle_sql() tail comment)
+        "kring_sizes": _q_kring_sizes,
         "s2_cross_index": _q_s2_cross_index,
         "hex7_cross_index": _q_hex7_cross_index,
         "polyfill": _q_polyfill,
         "region_cover": _q_region_cover,
         "zone_from_poly": _q_zone_from_poly,
-        "linetrace": _q_linetrace,
         "linetrace_many": _q_linetrace_many,
         "image_decode": _q_image_decode,
     }
@@ -1766,6 +1821,44 @@ def _lsh_cosine_topk_oracle_sql(k=5, dim=64, n_planes=4, seed=42):
     """
 
 
+def _cell_geometry_oracle_sql() -> str:
+    """The reference's published ul_vertex / nw_vertex doctest table
+    (cell.py:548-585) and the ellipsoidal vertices of the N0/S0 darts
+    (cell.py:680-706) as a VALUES literal, pre-rounded with the same
+    HALF_UP decimal rounding Spark's round() applies."""
+    rows = [
+        # (cell_id, kind, seq, vx, vy)
+        ("P57", "ul_plane", 0, -2223901.04, -555975.26),
+        ("S4", "ul_plane", 0, -16679257.8, -8339628.9),
+        ("N43", "ul_plane", 0, -16679257.8, 10563529.94),
+        ("S43", "ul_plane", 0, -16679257.8, -9451579.42),
+        ("N62", "ul_plane", 0, -17791208.32, 8339628.9),
+        ("S62", "ul_plane", 0, -17791208.32, -11675480.46),
+        ("P57", "nw_plane", 0, -2223901.04, -555975.26),
+        ("S4", "nw_plane", 0, -16679257.8, -8339628.9),
+        ("N43", "nw_plane", 0, -15567307.28, 10563529.94),
+        ("S43", "nw_plane", 0, -16679257.8, -10563529.94),
+        ("N62", "nw_plane", 0, -16679257.8, 8339628.9),
+        ("S62", "nw_plane", 0, -16679257.8, -12787430.98),
+        ("N0", "vert_ell", 0, 90.0, 74.424007),
+        ("N0", "vert_ell", 1, 120.0, 41.937854),
+        ("N0", "vert_ell", 2, 90.0, 41.937854),
+        ("N0", "vert_ell", 3, 60.0, 41.937854),
+        ("S0", "vert_ell", 0, 150.0, -41.937854),
+        ("S0", "vert_ell", 1, -180.0, -41.937854),
+        ("S0", "vert_ell", 2, -150.0, -41.937854),
+        ("S0", "vert_ell", 3, -180.0, -74.424007),
+    ]
+    vals = ", ".join(
+        f"('{c}', '{k}', {s}, CAST({vx!r} AS DOUBLE), CAST({vy!r} AS DOUBLE))"
+        for c, k, s, vx, vy in rows
+    )
+    return (
+        f"SELECT cell_id, kind, CAST(seq AS INT) AS seq, vx, vy "
+        f"FROM (VALUES {vals}) t(cell_id, kind, seq, vx, vy)"
+    )
+
+
 def _zone_catchment_oracle_sql():
     """The reference's published ground-truth zone for catchment
     12104622 (tests/test_conversion.py:58-538) as a literal oracle."""
@@ -2097,6 +2190,9 @@ def oracle_sql() -> dict[str, str]:
         "zone_catchment": _zone_catchment_oracle_sql(),
         "lsh_cosine_topk": _lsh_cosine_topk_oracle_sql(k=5, dim=64, n_planes=4),
         "kring_interior": _kring_interior_oracle_sql(),
+        "cell_geometry": _cell_geometry_oracle_sql(),
+        "neighbors": _neighbors_oracle_sql(),
+        "linetrace": _linetrace_oracle_sql(),
         "streaming_geo_counts": f"""
             WITH enc AS MATERIALIZED ({enc3})
             SELECT cell_id, count(*) AS n FROM enc GROUP BY cell_id
@@ -2179,14 +2275,14 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS frame_sum
             FROM f WHERE fi % 3 = 0
         """,
-        # Intentionally rows-only (no SQL twin): kring_sizes,
-        # cell_geometry, neighbors (ring walks / ellipsoidal inverse
-        # ordering), s2_cross_index, hex7_cross_index (Hilbert tables /
-        # icosahedral gnomonic), polyfill / region_cover /
-        # zone_from_poly (cap+dart geometry — their equatorial twins
-        # polyfill_eq / region_cover_ell / zone_catchment ARE SQL-
-        # gated), linetrace, linetrace_many (polar centroid quadrature
-        # + neighbor walks), image_decode (fake-codec stub). None are
+        # Intentionally rows-only (no SQL twin): kring_sizes (general
+        # ring walk incl. face crossings), s2_cross_index,
+        # hex7_cross_index (Hilbert tables / icosahedral gnomonic),
+        # polyfill / region_cover / zone_from_poly (cap+dart geometry —
+        # their equatorial twins polyfill_eq / region_cover_ell /
+        # zone_catchment ARE SQL-gated), linetrace_many (multi-segment
+        # neighbor walk — the straight equatorial case linetrace IS
+        # SQL-gated), image_decode (fake-codec stub). None are
         # SQL-expressible in DuckDB; the driver records rows-only
         # checks and pytest pins their values against reference golden
         # fixtures (tests/test_kernel_*, test_tiling_distributed).
@@ -2295,6 +2391,104 @@ def _kring_interior_oracle_sql() -> str:
         SELECT cell_id, CAST({size} AS INT) AS ring_size
         FROM rc
         WHERE r BETWEEN {k} AND {side - 1 - k} AND c BETWEEN {k} AND {side - 1 - k}
+    """
+
+
+def _suid_from_rc_sql(res: int, r: str, gc: str) -> str:
+    """SQL expression rebuilding an equatorial-band suid from integer
+    (row-within-face, global column) — base-3 digit interleave
+    (cell.py:260-291 inverted), pure integer arithmetic."""
+    side = 3**res
+    face = (
+        f"(CASE ({gc}) // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P' "
+        f"WHEN 2 THEN 'Q' WHEN 3 THEN 'R' END)"
+    )
+    parts = [face]
+    for i in range(1, res + 1):
+        p = 3 ** (res - i)
+        parts.append(
+            f"CAST(3 * ((({r}) // {p}) % 3) "
+            f"+ (((({gc}) % {side}) // {p}) % 3) AS VARCHAR)"
+        )
+    return " || ".join(parts)
+
+
+def _rc_sql(res: int) -> tuple[str, str]:
+    """(row, col) digit-sum SQL for a res-`res` suid in `cell_id`."""
+    row = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) // 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    col = " + ".join(
+        f"(CAST(substr(cell_id, {i + 1}, 1) AS BIGINT) % 3) * {3 ** (res - i)}"
+        for i in range(1, res + 1)
+    )
+    return row, col
+
+
+_EQ_FACE_NUM_SQL = (
+    "(CASE substr(cell_id, 1, 1) WHEN 'O' THEN 0 WHEN 'P' THEN 1 "
+    "WHEN 'Q' THEN 2 WHEN 'R' THEN 3 END)"
+)
+
+
+def _neighbors_oracle_sql() -> str:
+    """Quad-cell ellipsoidal neighbors re-derived with pure integer
+    row/global-column arithmetic (north/south = row -/+ 1, west/east =
+    column -/+ 1 cyclically across the four equatorial faces) and the
+    digit-interleave suid rebuild — fully independent of the engine's
+    digit-walk kernel."""
+    res = 2
+    side = 3**res
+    ring = 4 * side
+    enc = rhp_encode_sql(CUSTOMER_POINTS_SQL, res)
+    row, col = _rc_sql(res)
+    suid = _suid_from_rc_sql(res, "nr", "ngc")
+    return f"""
+        WITH e AS MATERIALIZED ({enc}),
+        cells AS (SELECT DISTINCT cell_id FROM e
+                  WHERE substr(cell_id, 1, 1) IN ('O','P','Q','R')),
+        rc AS (SELECT cell_id, ({row}) AS r,
+                      {_EQ_FACE_NUM_SQL} * {side} + ({col}) AS gc
+               FROM cells WHERE ({row}) BETWEEN 1 AND {side - 2}),
+        dirs AS (
+            SELECT cell_id, 'north' AS direction, r - 1 AS nr, gc AS ngc FROM rc
+            UNION ALL SELECT cell_id, 'south', r + 1, gc FROM rc
+            UNION ALL SELECT cell_id, 'west', r, (gc + {ring - 1}) % {ring} FROM rc
+            UNION ALL SELECT cell_id, 'east', r, (gc + 1) % {ring} FROM rc
+        )
+        SELECT cell_id, direction, {suid} AS neighbor FROM dirs
+    """
+
+
+def _linetrace_oracle_sql() -> str:
+    """Constant-latitude linetrace re-derived as the closed-form
+    column walk: encode both endpoints independently (full SQL encode
+    pipeline), then generate the inclusive global-column series
+    between them on the shared row."""
+    res = 3
+    side = 3**res
+    pts = (
+        "SELECT * FROM (VALUES "
+        "(0, CAST(-19.9 AS DOUBLE), CAST(9.7 AS DOUBLE)), "
+        "(1, CAST(40.1 AS DOUBLE), CAST(9.7 AS DOUBLE))"
+        ") t(pid, lon, lat)"
+    )
+    enc = rhp_encode_sql(pts, res)
+    row, col = _rc_sql(res)
+    suid = _suid_from_rc_sql(res, "r0", "g")
+    return f"""
+        WITH e AS MATERIALIZED ({enc}),
+        rc AS (SELECT pid, ({row}) AS r,
+                      {_EQ_FACE_NUM_SQL} * {side} + ({col}) AS gc FROM e),
+        span AS (SELECT
+            (SELECT r FROM rc WHERE pid = 0) AS r0,
+            (SELECT gc FROM rc WHERE pid = 0) AS g0,
+            (SELECT gc FROM rc WHERE pid = 1) AS g1),
+        seqs AS (SELECT unnest(generate_series(s.g0, s.g1)) AS g,
+                        s.r0 AS r0, s.g0 AS g0
+                 FROM span s)
+        SELECT CAST(g - g0 AS INT) AS seq, {suid} AS cell_id FROM seqs
     """
 
 

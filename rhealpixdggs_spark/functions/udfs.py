@@ -213,6 +213,21 @@ def rhp_nucleus(cell_id: Column, cfg: DggsConfig = WGS84_003, plane: bool = Fals
     return _point_udf(cfg, lambda f, d: KC.nucleus(cfg, f, d, plane=plane))(cell_id)
 
 
+def rhp_nw_vertex(cell_id: Column, cfg: DggsConfig = WGS84_003) -> Column:
+    """suid -> struct(lon, lat) holding the PLANAR (x, y) of the
+    ellipsoidal northwest vertex (cell.py:534-653: ul_vertex for
+    quad/cap cells, triangle-dependent corner for skew quads and
+    darts)."""
+
+    def fn(face, digits):
+        v = KC.vertices_planar(cfg, face, digits)
+        i0 = KC.nw_vertex_index(cfg, face, digits)
+        pts = v[np.arange(v.shape[0]), i0]
+        return pts[:, 0], pts[:, 1]
+
+    return _point_udf(cfg, fn)(cell_id)
+
+
 def rhp_boundary(
     cell_id: Column, cfg: DggsConfig = WGS84_003, plane: bool = False,
     geo_json: bool = False,
