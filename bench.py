@@ -87,17 +87,44 @@ def _warm_up(spark):
     ).write.format("noop").mode("overwrite").save()
 
 
+HEADLINE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+
+def _median_iqr(samples: list[float]) -> tuple[float, float]:
+    import statistics
+
+    med = statistics.median(samples)
+    if len(samples) >= 4:
+        q = statistics.quantiles(samples, n=4)
+        iqr = q[2] - q[0]
+    else:
+        iqr = max(samples) - min(samples)
+    return med, iqr
+
+
 def run_headline(spark, sf_dir: str) -> dict:
+    """Noise-proof protocol (round-2 verdict item 3): per query, one
+    untimed warm-up (codegen + Python-worker imports) then
+    HEADLINE_RUNS timed runs; report the MEDIAN with IQR dispersion so
+    a shared-VM noise spike is visible in the artifact instead of
+    silently inflating the number. A pure-CPU control measured in the
+    same session stamps the box's state: compare controls before
+    reading a cross-round delta as a code regression."""
     import __spark_entry__ as entrymod
 
     _warm_up(spark)
     timings: dict[str, float] = {}
-    # Best of two runs per job: the first pass pays codegen + Python
-    # worker module imports; a long-running cluster job sees the
-    # second (same protocol as the scaling runs, BENCH/BASELINE.md).
-    sec, n_pages = bench_encode_join(spark, sf_dir)
-    sec = min(sec, bench_encode_join(spark, sf_dir, n_pages)[0])
+    dispersion: dict[str, dict] = {}
+    samples = []
+    _, n_pages = bench_encode_join(spark, sf_dir)  # warm-up, untimed
+    for _ in range(HEADLINE_RUNS):
+        samples.append(bench_encode_join(spark, sf_dir, n_pages)[0])
+    sec, iqr = _median_iqr(samples)
     timings["encode_join_pages"] = sec
+    dispersion["encode_join_pages"] = {
+        "iqr": round(iqr, 3), "min": round(min(samples), 3),
+        "max": round(max(samples), 3), "runs": len(samples),
+    }
     pages_per_sec = n_pages / sec
 
     def _minhash_scale_path(spark, sf_dir):
@@ -124,16 +151,30 @@ def run_headline(spark, sf_dir: str) -> dict:
         "revenue_by_nation",
         "raster_to_vector",
     ]:
-        best = float("inf")
-        for _ in range(2):
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(HEADLINE_RUNS):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = best
+            runs.append(time.time() - t0)
+        med, iqr = _median_iqr(runs)
+        timings[name] = med
+        dispersion[name] = {
+            "iqr": round(iqr, 3), "min": round(min(runs), 3),
+            "max": round(max(runs), 3), "runs": len(runs),
+        }
     return {
         "timings": {k: round(v, 3) for k, v in timings.items()},
+        "dispersion": dispersion,
         "n_pages": n_pages,
         "pages_per_sec": round(pages_per_sec, 1),
+        # box-state stamp: pure-Python ops/sec at 1 and at CPUS procs,
+        # measured in this session — the hardware control for
+        # cross-round comparisons.
+        "cpu_control": {
+            "procs_1": round(_cpu_control(1), 1),
+            f"procs_{CPUS}": round(_cpu_control(CPUS), 1),
+        },
     }
 
 
@@ -219,17 +260,18 @@ def _cpu_control(n_procs: int, seconds: float = 2.0) -> float:
     return total / seconds
 
 
-def scaling_protocol(sf_dir: str, masters=(2, 8, 32)) -> dict:
+def scaling_protocol(sf_dir: str, masters=(2, 8, 16, 32)) -> dict:
     """N -> 4N scaling evidence: identical jobs + inputs, cores-only
     delta, separate JVMs, fixed shuffle partitioning, steady-state
-    (warm-up + best of 3), at three parallelism levels.
+    (warm-up + best of 3), at four parallelism levels.
 
     The 2->8 pair is the headline N->4N criterion: both sizes sit
     below the single box's memory-bus ceiling, matching a real cluster
-    where each node brings its own bus. The 8->32 pair is reported
-    with a pure-CPU control experiment that measures the same box's
-    hardware ceiling for 8->32 processes (hypervisor steal + shared
-    bus) so the engine's share of the loss is visible.
+    where each node brings its own bus. The 8->16->32 points locate
+    the single-box bandwidth knee; EVERY pair is reported with a
+    pure-CPU control experiment (same process counts, measured in the
+    same session) so the engine's share of any sub-linear step is
+    separable from the box's own hypervisor-steal/shared-bus ceiling.
 
     Two stages per pair: the engine job over pre-extracted points and
     the full pipeline including the raw-pages scan."""
@@ -250,22 +292,23 @@ def scaling_protocol(sf_dir: str, masters=(2, 8, 32)) -> dict:
         lo, hi = results[stage][low], results[stage][high]
         return round((hi["rows_per_sec"] / lo["rows_per_sec"]) / (high / low), 3)
 
-    cpu_low = _cpu_control(masters[1])
-    cpu_high = _cpu_control(masters[2])
-    hw_ceiling = round((cpu_high / cpu_low) / (masters[2] / masters[1]), 3)
+    # best-of-3 per process count: a control depressed by a transient
+    # neighbor-load spike would otherwise fabricate a super-linear
+    # "hardware ceiling" for the next pair
+    cpu = {n: max(_cpu_control(n) for _ in range(3)) for n in masters}
+    pairs = {}
+    for lo, hi in zip(masters, masters[1:]):
+        pairs[f"{lo}to{hi}"] = {
+            "encode_join_stage": eff("points", lo, hi),
+            "full_pipeline": eff("pages", lo, hi),
+            "pure_cpu_hardware_ceiling": round(
+                (cpu[hi] / cpu[lo]) / (hi / lo), 3
+            ),
+        }
     return {
         "runs": results,
-        "pairs": {
-            f"{masters[0]}to{masters[1]}": {
-                "encode_join_stage": eff("points", masters[0], masters[1]),
-                "full_pipeline": eff("pages", masters[0], masters[1]),
-            },
-            f"{masters[1]}to{masters[2]}": {
-                "encode_join_stage": eff("points", masters[1], masters[2]),
-                "full_pipeline": eff("pages", masters[1], masters[2]),
-                "pure_cpu_hardware_ceiling": hw_ceiling,
-            },
-        },
+        "cpu_control_rates": {str(n): round(cpu[n], 1) for n in masters},
+        "pairs": pairs,
         "cores_ratio": 4.0,
         "scaling_efficiency": eff("points", masters[0], masters[1]),
     }
@@ -300,10 +343,13 @@ def main():
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline suite wall time (encode+join pages pipeline "
-                  "res9->res2 + spatial/dedup/similarity/relational queries)",
+                  "res9->res2 + spatial/dedup/similarity/relational queries; "
+                  "median of %d runs per query)" % HEADLINE_RUNS,
         "value": round(sum(res["timings"].values()), 3),
         "unit": "sec",
         "queries": res["timings"],
+        "dispersion": res["dispersion"],
+        "cpu_control": res["cpu_control"],
         "sf": float(sf),
         "n_pages": res["n_pages"],
         "pages_per_sec": res["pages_per_sec"],
