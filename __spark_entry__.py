@@ -967,6 +967,68 @@ def _q_zone_catchment(spark, sf_dir):
     ).select("cell_id", F.col("res").cast("long").alias("res")).orderBy("cell_id")
 
 
+def _q_zone_assign(spark, sf_dir):
+    """End-to-end per-point multi-resolution zone assignment (the
+    north-star 'per-URL tile assignments'): deterministic points in
+    the catchment bbox -> res-9 encode -> mixed-resolution
+    containment_join (one broadcast equi-join per zone resolution,
+    res 7/8/9) against the DISTRIBUTED zone (zone_from_poly_df) ->
+    per-tile counts. The oracle pushes the same points through the
+    independent SQL encode pipeline and prefix-joins them against the
+    reference's published 254-cell ground-truth zone."""
+    from rhealpixdggs_spark.operators.joins import containment_join
+    from rhealpixdggs_spark.operators.tiling import zone_from_poly_df
+
+    coords, _ = _catchment_golden()
+    zone = zone_from_poly_df(spark, [(coords, ())], res_limit=9).select(
+        F.col("cell_id").alias("tile_id")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = orders.select(
+        F.col("o_orderkey").alias("pid"),
+        (F.col("o_orderkey") * 9973 % 2200 / 10000.0 + 148.6).alias("lon"),
+        (F.col("o_orderkey") * 7919 % 1700 / 10000.0 - 35.73).alias("lat"),
+    )
+    enc = pts.select(
+        "pid", rhp_encode(F.col("lon"), F.col("lat"), 9).alias("cell_id")
+    )
+    joined = containment_join(enc, zone, tile_resolutions=[7, 8, 9])
+    return (
+        joined.groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            "tile_id",
+            (F.length("tile_id") - 1).cast("int").alias("res"),
+            "n_points",
+        )
+        .orderBy("tile_id")
+    )
+
+
+def _zone_assign_oracle_sql() -> str:
+    """Same deterministic points through the generated SQL encode,
+    prefix-joined against the published catchment ground truth."""
+    from rhealpixdggs_spark.oracle_sql import rhp_encode_sql as _enc
+
+    _, cells = _catchment_golden()
+    pts = (
+        "SELECT o_orderkey AS pid, "
+        "((o_orderkey * 9973) % 2200) / 10000.0 + 148.6 AS lon, "
+        "((o_orderkey * 7919) % 1700) / 10000.0 - 35.73 AS lat "
+        "FROM orders"
+    )
+    vals = ", ".join(f"('{c}')" for c in cells)
+    return f"""
+        WITH e AS MATERIALIZED ({_enc(pts, 9)}),
+        zone AS (SELECT cell_id AS tile_id FROM (VALUES {vals}) t(cell_id))
+        SELECT z.tile_id, CAST(length(z.tile_id) - 1 AS INT) AS res,
+               count(*) AS n_points
+        FROM e JOIN zone z
+          ON substr(e.cell_id, 1, CAST(length(z.tile_id) AS INT)) = z.tile_id
+        GROUP BY z.tile_id
+    """
+
+
 def _catchment_golden():
     """Catchment WKT + 254-cell ground truth, vendored from the
     reference's published test expectations (expected values, not
@@ -1371,9 +1433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Oracle-backed queries ROTATE through the window across rounds so
     every one accumulates driver-green evidence: round 3 rotated IN
     the three oracles added in round 2 (kring_interior,
-    streaming_geo_counts, lsh_cosine_topk) and OUT three queries
-    driver-green in BOTH rounds 1 and 2 (knn_brute, cell_metrics,
-    topk_cells). The tail (oracle-backed overflow + intentionally
+    streaming_geo_counts, lsh_cosine_topk) plus the new end-to-end
+    zone_assign, and OUT four queries driver-green in BOTH rounds 1
+    and 2 (knn_brute, cell_metrics, topk_cells,
+    tpch_returned_items). The tail (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
     return {
@@ -1405,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_cover_planar": _q_region_cover_planar,
         "polyfill_eq": _q_polyfill_eq,
         "zone_catchment": _q_zone_catchment,
+        "zone_assign": _q_zone_assign,
         "pip_polygon": _q_pip_polygon,
         "polygon_join": _q_polygon_join,
         "raster_to_vector": _q_raster_to_vector,
@@ -1421,7 +1485,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": _q_tpch_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
-        "tpch_returned_items": _q_tpch_returned_items,
         "streaming_window": _q_streaming_window,
         "streaming_dedup": _q_streaming_dedup,
         "sessionize": _q_sessionize,
@@ -1436,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "embedding_norms": _q_embedding_norms,
         "events_window": _q_events_window,
+        "tpch_returned_items": _q_tpch_returned_items,
         "knn_brute": _q_knn_brute,
         "cell_metrics": _q_cell_metrics,
         "topk_cells": _q_topk_cells,
@@ -2188,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "polyfill_eq": _polyfill_eq_oracle_sql(3),
         "zone_catchment": _zone_catchment_oracle_sql(),
+        "zone_assign": _zone_assign_oracle_sql(),
         "lsh_cosine_topk": _lsh_cosine_topk_oracle_sql(k=5, dim=64, n_planes=4),
         "kring_interior": _kring_interior_oracle_sql(),
         "cell_geometry": _cell_geometry_oracle_sql(),
