@@ -296,3 +296,43 @@ class TestPolygonJoinCover:
         )
         plan = big._jdf.queryExecution().optimizedPlan().toString()
         assert "Range (" in plan  # distributed column-span candidates
+
+
+class TestBucketedJoins:
+    def test_bucketed_join_and_agg_have_no_exchange(self, spark):
+        """Tables bucketed+sorted on the packed tile index join and
+        aggregate with ZERO Exchange — the repeated-join layout for
+        the 100 TB corpus (sources/bucketing.py)."""
+        from rhealpixdggs_spark.functions.udfs import rhp_encode_index
+        from rhealpixdggs_spark.sources.bucketing import (
+            read_bucketed,
+            write_bucketed,
+        )
+        from rhealpixdggs_spark.sources.pages import synthesize_points
+
+        pts = synthesize_points(spark, 5000, partitions=4).withColumn(
+            "tile_idx", rhp_encode_index(F.col("lon"), F.col("lat"), 5)
+        )
+        write_bucketed(pts, "t_bucket_a", n_buckets=8)
+        write_bucketed(
+            pts.groupBy("tile_idx").count(), "t_bucket_b", n_buckets=8
+        )
+        try:
+            a = read_bucketed(spark, "t_bucket_a")
+            b = read_bucketed(spark, "t_bucket_b")
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = a.join(b, "tile_idx")
+                plan = joined._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange" not in plan  # co-located SMJ
+                assert "SortMergeJoin" in plan
+                agg = a.groupBy("tile_idx").count()
+                agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange" not in agg_plan  # bucket-local agg
+                assert joined.count() == a.count()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+            spark.sql("DROP TABLE IF EXISTS t_bucket_b")
