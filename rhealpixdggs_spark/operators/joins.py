@@ -38,28 +38,56 @@ def containment_join(
     """Join points to the tiles that contain them in the cell hierarchy.
 
     Containment == suid prefix (cell.py:437-454). Tiles may mix
-    resolutions: we group tiles by resolution and union one equi-join
-    per resolution, each on the materialized prefix column — Catalyst
-    sees plain equi-joins (broadcastable / sort-merge-able) instead of
-    an un-plannable startswith() theta join.
+    resolutions; Catalyst always sees plain equi-joins (broadcastable /
+    sort-merge-able) instead of an un-plannable startswith() theta
+    join, via one of two plans:
+
+    - single resolution (or non-inner join): equi-join on the
+      materialized prefix column, one join per resolution unioned;
+    - MIXED resolutions, inner join: the big side is scanned ONCE —
+      each point explodes to its prefixes at the tile resolutions
+      present (a x|R| row fan-out of the key column only), then one
+      equi-join on (prefix == tile_cell). The union-of-joins plan
+      would re-scan and re-encode the big side once per resolution,
+      which at 100 TB is |R| full passes; the explode plan is one
+      pass + one join.
 
     Pass tile_resolutions when known to skip the discovery job.
     """
-    res_rows = tile_resolutions if tile_resolutions is not None else [
-        r[0]
-        for r in tiles.select((F.length(tile_cell) - 1).alias("r")).distinct().collect()
-    ]
+    res_rows = sorted(set(
+        tile_resolutions if tile_resolutions is not None else [
+            r[0]
+            for r in tiles.select(
+                (F.length(tile_cell) - 1).alias("r")
+            ).distinct().collect()
+        ]
+    ))
+    if not res_rows:
+        # No tiles: inner join result is empty with the joined schema.
+        empty = tiles.limit(0)
+        return points.join(empty, F.lit(False), how)
+    if len(res_rows) > 1 and how == "inner":
+        # prefix at res r only exists when the point is at res >= r
+        # (otherwise substring returns the whole shorter suid, which
+        # would duplicate the point's own-res prefix); null it out and
+        # compact so each point explodes to exactly its valid prefixes
+        prefixes = F.array_compact(F.array(*[
+            F.when(
+                F.length(F.col(point_cell)) >= r + 1,
+                F.substring(F.col(point_cell), 1, r + 1),
+            )
+            for r in res_rows
+        ]))
+        p = points.withColumn("_pref", F.explode(prefixes))
+        t = F.broadcast(tiles) if broadcast_tiles else tiles
+        return p.join(t, F.col("_pref") == F.col(tile_cell), how).drop("_pref")
     parts = []
-    for r in sorted(res_rows):
+    for r in res_rows:
         t = tiles.where(F.length(tile_cell) == r + 1)
         if broadcast_tiles:
             t = F.broadcast(t)
         key = F.substring(F.col(point_cell), 1, r + 1)
         parts.append(points.join(t, key == F.col(tile_cell), how))
-    if not parts:
-        # No tiles: inner join result is empty with the joined schema.
-        empty = tiles.limit(0)
-        return points.join(empty, F.lit(False), how)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -317,3 +317,47 @@ class TestScalePath:
             assert joined.count() == 2000
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestMixedResContainment:
+    def test_explode_plan_matches_union_plan(self, spark):
+        """Mixed-resolution containment joins use the single-scan
+        prefix-explode plan; results must equal the per-res
+        union-of-joins plan, including points coarser than the finest
+        tiles."""
+        from rhealpixdggs_spark.operators.joins import containment_join
+
+        pts = spark.createDataFrame(
+            [("N012345",), ("N01234",), ("N01",), ("O8",), ("N0123456789",)],
+            ["cell_id"],
+        )
+        tiles = spark.createDataFrame(
+            [("N01",), ("N0123",), ("N012345678",), ("O8",)], ["tile_id"]
+        )
+        got = containment_join(pts, tiles)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Generate explode" in plan
+        # independent expectation: plain python prefix semantics
+        prows = [r.cell_id for r in pts.collect()]
+        trows = [r.tile_id for r in tiles.collect()]
+        expect = sorted(
+            (p, t) for p in prows for t in trows if p.startswith(t)
+        )
+        assert sorted(map(tuple, got.collect())) == expect
+
+    def test_single_scan_of_big_side(self, spark):
+        """The big side (with its encode) is planned ONCE for a
+        3-resolution tile set — not once per resolution."""
+        from rhealpixdggs_spark.functions.udfs import rhp_encode
+        from rhealpixdggs_spark.operators.joins import containment_join
+
+        pts = spark.createDataFrame(
+            [(i, -20.0 + i, 5.0) for i in range(30)], ["pid", "lon", "lat"]
+        ).withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 9))
+        tiles = spark.createDataFrame(
+            [("P",), ("P1",), ("P12",)], ["tile_id"]
+        )
+        out = containment_join(pts, tiles, tile_resolutions=[0, 1, 2])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+        assert plan.count("BroadcastHashJoin") == 1
