@@ -76,3 +76,27 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_zone_assignment(
+    points_stream: DataFrame,
+    zone: DataFrame,
+    resolution: int = 9,
+    cfg: DggsConfig = WGS84_003,
+) -> DataFrame:
+    """Continuously arriving points -> res-`resolution` encode ->
+    stream-static containment join against a (small) multi-resolution
+    zone table (zone_from_poly_df / polyfill_df output, `tile_id`
+    column) -> one assignment row per (point, containing zone cell).
+
+    Stateless per micro-batch: the static zone side is broadcast into
+    every batch and the mixed-resolution join uses the single-scan
+    prefix-explode plan (operators/joins.containment_join), so the
+    stream side is never shuffled — the shape that holds when the
+    stream is a firehose and the zone table is the small side."""
+    from ..operators.joins import containment_join
+
+    enc = points_stream.withColumn(
+        "cell_id", rhp_encode(F.col("lon"), F.col("lat"), resolution, cfg)
+    )
+    return containment_join(enc, zone, tile_cell="tile_id")

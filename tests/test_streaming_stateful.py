@@ -81,3 +81,61 @@ def test_running_counts(spark, two_batch_source, tmp_path):
     exp = all_rows.groupBy(F.col("lang").alias("tile_id")).count()
     diff = final.join(exp, "tile_id").where(F.col("n") != F.col("count"))
     assert diff.isEmpty()
+
+
+def test_streaming_zone_assignment(spark, tmp_path):
+    """Stream-static zone assignment: two micro-batches of points
+    joined against a static multi-resolution zone produce exactly the
+    rows the batch containment join produces on the full input."""
+    from rhealpixdggs_spark.operators.joins import containment_join
+    from rhealpixdggs_spark.operators.tiling import zone_from_poly_df
+    from rhealpixdggs_spark.streaming.pipeline import (
+        streaming_zone_assignment,
+    )
+    from rhealpixdggs_spark.functions.udfs import rhp_encode
+
+    euro = [(-10.0, 36.0), (25.0, 34.0), (30.0, 58.0), (-8.0, 60.0)]
+    zone = zone_from_poly_df(spark, [(euro, [])], res_limit=2).select(
+        F.col("cell_id").alias("tile_id")
+    )
+    zone = zone.localCheckpoint(eager=True)  # static small side
+
+    pts = spark.range(0, 300).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 40 - 10.0).alias("lon"),
+        (F.col("id") % 25 + 34.0).alias("lat"),
+    )
+    src = tmp_path / "zsrc"
+    pts.where("pid < 150").coalesce(1).write.parquet(str(src / "b1"))
+    pts.where("pid >= 150").coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_zone_assignment(stream, zone, resolution=5)
+        .writeStream.format("memory")
+        .queryName("zone_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r.pid, r.tile_id)
+        for r in spark.table("zone_sink").select("pid", "tile_id").collect()
+    )
+    enc = pts.withColumn(
+        "cell_id", rhp_encode(F.col("lon"), F.col("lat"), 5)
+    )
+    exp = sorted(
+        (r.pid, r.tile_id)
+        for r in containment_join(enc, zone, tile_cell="tile_id")
+        .select("pid", "tile_id")
+        .collect()
+    )
+    assert got == exp and len(got) > 0
