@@ -566,6 +566,32 @@ def zone_from_poly_df(
     )
 
 
+def zone_tiles(
+    spark: SparkSession,
+    polygons: dict[str, list],
+    res_limit: int,
+    cfg: DggsConfig = WGS84_003,
+) -> DataFrame:
+    """Named multi-resolution zone table (tile_id, res, zone) — the
+    CellZoneFromPoly twin of polyfill_df's output shape: one
+    distributed zone loop (zone_from_poly_df) per named zone, unioned.
+    The result is the compact tile side for containment_join /
+    streaming_zone_assignment. `polygons` maps zone name ->
+    [(exterior_ring, holes), ...]."""
+    parts = [
+        zone_from_poly_df(spark, polys, res_limit, cfg).select(
+            F.col("cell_id").alias("tile_id"),
+            "res",
+            F.lit(name).alias("zone"),
+        )
+        for name, polys in polygons.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def region_cover_df(
     spark: SparkSession,
     res: int,

@@ -125,3 +125,19 @@ class TestZoneFromPolyDf:
         assert "ArrowEvalPython" in plan  # vectorized classify
         assert "Generate explode" in plan  # column-side child expansion
         assert df.count() > 50  # while the result is far larger than roots
+
+    def test_zone_tiles_named(self, spark):
+        from rhealpixdggs_spark.kernel.zones import zone_from_poly
+        from rhealpixdggs_spark.operators.tiling import zone_tiles
+
+        euro = [(-10.0, 36.0), (25.0, 34.0), (30.0, 58.0), (-8.0, 60.0)]
+        tri = [(-40.0, -20.0), (-10.0, -25.0), (-20.0, 5.0)]
+        got = zone_tiles(spark, {"euro": [(euro, [])], "tri": [(tri, [])]}, 2)
+        by_zone = {}
+        for r in got.collect():
+            by_zone.setdefault(r.zone, []).append((r.tile_id, r.res))
+        for name, polys in [("euro", [(euro, [])]), ("tri", [(tri, [])])]:
+            exp = sorted(
+                (c, len(c) - 1) for c in zone_from_poly(WGS84_003, polys, 2)
+            )
+            assert sorted(by_zone[name]) == exp
