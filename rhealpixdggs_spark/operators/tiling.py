@@ -592,6 +592,117 @@ def zone_tiles(
     return out
 
 
+def zone_tiles_many(
+    spark: SparkSession,
+    polygons: dict[str, list],
+    res_limit: int,
+    cfg: DggsConfig = WGS84_003,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Lock-step distributed CellZoneFromPoly for MANY named zones:
+    one (zone, cell_id) frontier advances all zones together, so a
+    fleet of 10k polygons rasterizes in <= res_limit+1 Spark jobs
+    TOTAL (zone_tiles would launch a per-level job sequence per zone
+    and union 10k plans). Per level the classify pass groups the Arrow
+    batch by (zone, resolution) and runs the vectorized kernel once
+    per group; zones whose perimeter is fully classified simply drop
+    out of the frontier. Roots may sit at different depths (each
+    zone's finest bounding cell), so the frontier legitimately mixes
+    resolutions — the at-limit emit test is per-row column math.
+
+    The geometry table ships in the UDF closure: fine for ~10^4
+    modest polygons (the classify kernel is O(cells x vertices) per
+    zone); beyond that, shard the dict across calls. Output:
+    (tile_id, res, zone), same cell sets as zone_from_poly_df per
+    zone."""
+    from ..kernel import zones as KZ
+    from ..kernel.constants import CELLS0
+
+    geoms = {name: KZ._Geometry(polys) for name, polys in polygons.items()}
+    emit_rows: list[tuple[str, str]] = []
+    frontier_rows: list[tuple[str, str]] = []
+    for name, polys in polygons.items():
+        geom = geoms[name]
+        bc = KZ.get_finest_containing_cell(cfg, polys)
+        roots = [bc] if bc is not None else list(CELLS0)
+        for root in roots:
+            ring = KZ._cell_ring_ellipsoidal(cfg, root)
+            if len(roots) > 1 and not (
+                geom.overlaps_ring(ring) or geom.contains_ring(ring)
+            ):
+                continue
+            if geom.contains_ring(ring):
+                emit_rows.append((name, root))
+            elif len(root) <= res_limit:
+                frontier_rows.append((name, root))
+
+    schema = "zone string, cell_id string"
+    parts: list[DataFrame] = []
+    if emit_rows:
+        parts.append(spark.createDataFrame(emit_rows, schema))
+
+    @pandas_udf("contains boolean, overlaps boolean, nucleus_in boolean")
+    def _classify(zone: pd.Series, cell: pd.Series) -> pd.DataFrame:
+        n = len(cell)
+        c = np.zeros(n, dtype=bool)
+        o = np.zeros(n, dtype=bool)
+        nu = np.zeros(n, dtype=bool)
+        z = zone.to_numpy(dtype=object)
+        s = cell.to_numpy(dtype=object)
+        lens = np.array([len(x) for x in s])
+        for zname in pd.unique(zone):
+            zm = z == zname
+            for L in np.unique(lens[zm]):
+                m = zm & (lens == L)
+                cc, oo, nn = KZ.classify_batch(
+                    cfg, s[m].astype(str), geoms[zname]
+                )
+                c[m], o[m], nu[m] = cc, oo, nn
+        return pd.DataFrame(
+            {"contains": c, "overlaps": o, "nucleus_in": nu},
+            index=cell.index,
+        )
+
+    digits = [str(i) for i in range(cfg.N_side**2)]
+    frontier = (
+        spark.createDataFrame(frontier_rows, schema) if frontier_rows else None
+    )
+    for _level in range(res_limit):
+        if frontier is None:
+            break
+        children = frontier.select(
+            "zone",
+            F.explode(
+                F.array(*[F.concat(F.col("cell_id"), F.lit(d)) for d in digits])
+            ).alias("cell_id"),
+        )
+        cls = children.withColumn(
+            "_c",
+            _classify.asNondeterministic()(F.col("zone"), F.col("cell_id")),
+        )
+        if checkpoint:
+            cls = cls.localCheckpoint(eager=True)
+        at_limit = (F.length("cell_id") - 1) == res_limit
+        parts.append(
+            cls.where(
+                F.col("_c.contains") | (at_limit & F.col("_c.nucleus_in"))
+            ).select("zone", "cell_id")
+        )
+        frontier = cls.where(
+            ~F.col("_c.contains") & ~at_limit & F.col("_c.overlaps")
+        ).select("zone", "cell_id")
+        if frontier.isEmpty():
+            frontier = None
+    out = parts[0] if parts else spark.createDataFrame([], schema)
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("cell_id").alias("tile_id"),
+        (F.length("cell_id") - 1).cast("int").alias("res"),
+        "zone",
+    )
+
+
 def region_cover_df(
     spark: SparkSession,
     res: int,

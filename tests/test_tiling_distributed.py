@@ -141,3 +141,30 @@ class TestZoneFromPolyDf:
                 (c, len(c) - 1) for c in zone_from_poly(WGS84_003, polys, 2)
             )
             assert sorted(by_zone[name]) == exp
+
+    def test_zone_tiles_many_lockstep(self, spark):
+        """The lock-step many-zone loop must match the per-zone kernel
+        recursion even when zones' bounding roots sit at different
+        depths (mixed-resolution frontier)."""
+        import json, os
+
+        from rhealpixdggs_spark.kernel.zones import zone_from_poly
+        from rhealpixdggs_spark.operators.tiling import zone_tiles_many
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "rhealpixdggs_spark", "data", "catchment_12104622.json",
+        )
+        with open(path) as f:
+            catchment = json.load(f)["polygon"]
+        tri = [(140.0, -30.0), (155.0, -32.0), (148.0, -20.0)]
+        zones = {"catch": [(catchment, [])], "tri": [(tri, [])]}
+        got = zone_tiles_many(spark, zones, 6)
+        by_zone = {}
+        for r in got.collect():
+            by_zone.setdefault(r.zone, []).append((r.tile_id, r.res))
+        for name, polys in zones.items():
+            exp = sorted(
+                (c, len(c) - 1) for c in zone_from_poly(WGS84_003, polys, 6)
+            )
+            assert sorted(by_zone.get(name, [])) == exp, name
