@@ -78,9 +78,9 @@ def containment_join(
             )
             for r in res_rows
         ]))
-        p = points.withColumn("_pref", F.explode(prefixes))
+        p = points.withColumn("_rhp_pref", F.explode(prefixes))
         t = F.broadcast(tiles) if broadcast_tiles else tiles
-        return p.join(t, F.col("_pref") == F.col(tile_cell), how).drop("_pref")
+        return p.join(t, F.col("_rhp_pref") == F.col(tile_cell), how).drop("_rhp_pref")
     parts = []
     for r in res_rows:
         t = tiles.where(F.length(tile_cell) == r + 1)
