@@ -168,3 +168,24 @@ class TestZoneFromPolyDf:
                 (c, len(c) - 1) for c in zone_from_poly(WGS84_003, polys, 6)
             )
             assert sorted(by_zone.get(name, [])) == exp, name
+
+    def test_bounding_cell_and_contained_roots(self, spark):
+        from rhealpixdggs_spark.kernel.zones import zone_from_poly
+        from rhealpixdggs_spark.operators.tiling import zone_from_poly_df
+
+        # explicit bounding_cell: recursion restricted to that subtree
+        euro = [(-10.0, 36.0), (25.0, 34.0), (30.0, 58.0), (-8.0, 60.0)]
+        exp = sorted(zone_from_poly(WGS84_003, [(euro, [])], 2, bounding_cell="N"))
+        got = sorted(
+            r.cell_id
+            for r in zone_from_poly_df(
+                spark, [(euro, [])], 2, bounding_cell="N"
+            ).collect()
+        )
+        assert got == exp
+        # a polygon strictly swallowing face P emits that root coarse
+        big = [(-100.0, 45.0), (10.0, 45.0), (10.0, -45.0), (-100.0, -45.0)]
+        rows = zone_from_poly_df(spark, [(big, [])], 2).collect()
+        assert ("P", 0) in {(r.cell_id, r.res) for r in rows}
+        exp2 = sorted(zone_from_poly(WGS84_003, [(big, [])], 2))
+        assert sorted(r.cell_id for r in rows) == exp2
