@@ -703,6 +703,132 @@ def zone_tiles_many(
     )
 
 
+def polyfill_many(
+    spark: SparkSession,
+    polygons: dict[str, list],
+    res: int,
+    cfg: DggsConfig = WGS84_003,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Lock-step polyfill for MANY equatorial-band polygons in ONE
+    plan: a single candidate generator (per-polygon row/column spans,
+    sequence-exploded Spark-side), one index->suid pass, one centroid
+    decode pass, and one per-zone even-odd filter — no per-polygon
+    union, so 10k polygons rasterize with the same 3-operator plan as
+    one. Correctness needs no lattice parity: candidates are a PADDED
+    SUPERSET of each bbox cover and the centroid-in-polygon filter
+    (rhp_wrappers.py:510-599 semantics, same as polyfill_df) decides
+    membership.
+
+    Restriction: every polygon must lie inside the equatorial band
+    (|lat| <= the cap boundary) and not cross the antimeridian —
+    polygons reaching the caps go through polyfill_df / zone_tiles.
+    Raises ValueError otherwise. Output: (tile_id, res, zone)."""
+    import math
+
+    from ..functions.udfs import rhp_centroid
+    from ..kernel.regions import healpix_forward_cfg
+
+    R = cfg.R_A
+    w = cfg.cell_width(res)
+    n3 = cfg.N_side**res
+    band = R * np.pi / 4
+    cap_lat = math.degrees(math.asin(2.0 / 3)) if not cfg.radians else math.asin(2.0 / 3)
+
+    rows = []
+    lookup = {}
+    for zone, polys in polygons.items():
+        lookup[zone] = [
+            (
+                [(float(x), float(y)) for x, y in ext],
+                [[(float(x), float(y)) for x, y in h] for h in holes],
+            )
+            for ext, holes in polys
+        ]
+        for ext, _holes in polys:
+            arr = np.asarray(ext, dtype=np.float64)
+            if np.any(np.abs(arr[:, 1]) > cap_lat):
+                raise ValueError(
+                    f"polyfill_many: polygon in zone {zone!r} reaches the "
+                    "polar caps; use polyfill_df / zone_tiles for it"
+                )
+            _, y_lo = healpix_forward_cfg(
+                cfg, np.array([0.0]), np.array([arr[:, 1].min()])
+            )
+            _, y_hi = healpix_forward_cfg(
+                cfg, np.array([0.0]), np.array([arr[:, 1].max()])
+            )
+            row0 = max(0, int((band - float(y_hi[0])) // w) - 1)
+            row1 = min(n3 - 1, int((band - float(y_lo[0])) // w) + 1)
+            lam = np.radians(arr[:, 0]) if not cfg.radians else arr[:, 0]
+            gc0 = max(0, int((R * lam.min() + R * np.pi) // w) - 1)
+            gc1 = min(4 * n3 - 1, int((R * lam.max() + R * np.pi) // w) + 1)
+            rows.append((zone, row0, row1, gc0, gc1))
+
+    spans = spark.createDataFrame(
+        rows, "zone string, row0 long, row1 long, gc0 long, gc1 long"
+    )
+    if partitions:
+        spans = spans.repartition(partitions)
+    g = spans.select(
+        "zone",
+        F.explode(F.sequence("row0", "row1")).alias("rib"),
+        "gc0", "gc1",
+    ).select(
+        "zone", "rib", F.explode(F.sequence("gc0", "gc1")).alias("gc")
+    )
+    # level-order index from (row-in-band, global column), same digit
+    # interleave as region_cover_ell_df's closed-form path
+    face = F.lit(1) + F.floor(F.col("gc") / F.lit(n3)).cast("long")
+    cif = F.col("gc") % F.lit(n3)
+    base = cfg.num_cells(0, res - 1)
+    idx = F.lit(base) + face * F.lit((cfg.N_side**2) ** res)
+    spread_r, spread_c = F.lit(0).cast("long"), F.lit(0).cast("long")
+    for i in range(res):
+        p3, p9 = cfg.N_side**i, (cfg.N_side**2) ** i
+        spread_r = spread_r + (F.floor(F.col("rib") / F.lit(p3)) % 3) * F.lit(p9)
+        spread_c = spread_c + (F.floor(cif / F.lit(p3)) % 3) * F.lit(p9)
+    idx = idx + F.lit(3) * spread_r + spread_c
+
+    @pandas_udf(T.StringType())
+    def idx_to_suid(ix: pd.Series) -> pd.Series:
+        face_a, digits = KC.suid_from_level_order_index(
+            cfg, ix.to_numpy(dtype=np.int64), res
+        )
+        return pd.Series(KC.suid_strings(face_a, digits), index=ix.index)
+
+    # multi-part zones can emit a cell from several parts' spans
+    cand = g.select("zone", idx_to_suid(idx).alias("tile_id")).distinct()
+    c = rhp_centroid(F.col("tile_id"), cfg, plane=False)
+    cand = cand.withColumn("_c", c)
+
+    @pandas_udf(T.BooleanType())
+    def _in_zone(zo: pd.Series, lo: pd.Series, la: pd.Series) -> pd.Series:
+        out = np.zeros(len(lo), dtype=bool)
+        lon = lo.to_numpy(np.float64)
+        lat = la.to_numpy(np.float64)
+        for z in zo.unique():
+            m = (zo == z).to_numpy()
+            hit = np.zeros(int(m.sum()), dtype=bool)
+            for ext, holes in lookup[z]:
+                hit |= KR.points_in_polygon(lon[m], lat[m], ext, holes)
+            out[m] = hit
+        return pd.Series(out, index=lo.index)
+
+    return (
+        cand.where(
+            _in_zone.asNondeterministic()(
+                F.col("zone"), F.col("_c")["lon"], F.col("_c")["lat"]
+            )
+        )
+        .select(
+            "tile_id",
+            (F.length("tile_id") - 1).cast("int").alias("res"),
+            "zone",
+        )
+    )
+
+
 def region_cover_df(
     spark: SparkSession,
     res: int,

@@ -189,3 +189,45 @@ class TestZoneFromPolyDf:
         assert ("P", 0) in {(r.cell_id, r.res) for r in rows}
         exp2 = sorted(zone_from_poly(WGS84_003, [(big, [])], 2))
         assert sorted(r.cell_id for r in rows) == exp2
+
+
+class TestPolyfillMany:
+    def test_matches_polyfill_df_per_zone(self, spark):
+        from rhealpixdggs_spark.operators.tiling import polyfill_df, polyfill_many
+
+        eq_hole = (
+            [(-20.0, -10.0), (25.0, -15.0), (30.0, 20.0), (0.0, 30.0), (-20.0, -10.0)],
+            [[(0.0, 0.0), (10.0, 0.0), (5.0, 10.0), (0.0, 0.0)]],
+        )
+        tri = ([(100.0, -5.0), (120.0, -8.0), (110.0, 12.0)], [])
+        zones = {"eq_hole": [eq_hole], "tri": [tri]}
+        got = polyfill_many(spark, zones, 3)
+        by_zone = {}
+        for r in got.collect():
+            by_zone.setdefault(r.zone, []).append(r.tile_id)
+        for name in zones:
+            exp = sorted(
+                r.tile_id
+                for r in polyfill_df(spark, {name: zones[name]}, 3, plane=False).collect()
+            )
+            assert sorted(by_zone.get(name, [])) == exp, name
+
+    def test_single_plan_no_per_polygon_union(self, spark):
+        from rhealpixdggs_spark.operators.tiling import polyfill_many
+
+        zones = {
+            f"z{i}": [([(i * 3.0, 0.0), (i * 3.0 + 2.0, 0.0), (i * 3.0 + 1.0, 2.0)], [])]
+            for i in range(10)
+        }
+        df = polyfill_many(spark, zones, 5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Union") == 0  # one generator, not 10 branches
+        assert df.count() > 0
+
+    def test_rejects_cap_polygons(self, spark):
+        import pytest as _pytest
+
+        from rhealpixdggs_spark.operators.tiling import polyfill_many
+
+        with _pytest.raises(ValueError, match="polar caps"):
+            polyfill_many(spark, {"n": [([(-10.0, 50.0), (10.0, 50.0), (0.0, 70.0)], [])]}, 3)
