@@ -51,15 +51,25 @@ def test_encode_wrap_invariance(lon, lat, res):
 
 @settings(max_examples=150, deadline=None)
 @given(lons, lats, st.integers(min_value=1, max_value=9))
-def test_neighbor_involution(lon, lat, res):
-    """Planar up(down(c)) == c and left(right(c)) == c
-    (tests/test_dggs.py:62-66 semantics on random cells)."""
+def test_neighbor_involution_and_symmetry(lon, lat, res):
+    """Same-face moves are involutive (up∘down = id, left∘right = id);
+    across faces the rotation breaks involution BY GEOMETRY (verified
+    against the reference: up(Q0) = N2 but N2's 'down' is another
+    face), so the universal invariant is SET symmetry — c is among
+    the 4 neighbors of each of its neighbors."""
     suid = _encode1(lon, lat, res)
     f, d = C.parse_suids(np.array([suid]))
     for there, back in (("up", "down"), ("left", "right")):
         nf, nd = NB.neighbor(WGS84_003, f, d, there)
-        bf, bd = NB.neighbor(WGS84_003, nf, nd, back)
-        assert C.suid_strings(bf, bd)[0] == suid
+        if nf[0] == f[0]:  # same-face: exact involution
+            bf, bd = NB.neighbor(WGS84_003, nf, nd, back)
+            assert C.suid_strings(bf, bd)[0] == suid
+        # universal: edge adjacency is symmetric as a set relation
+        back_set = {
+            C.suid_strings(*NB.neighbor(WGS84_003, nf, nd, dd))[0]
+            for dd in ("up", "down", "left", "right")
+        }
+        assert suid in back_set
 
 
 @settings(max_examples=150, deadline=None)
