@@ -137,8 +137,23 @@ def run_headline(spark, sf_dir: str) -> dict:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return minhash_signatures(docs, num_hashes=8)
 
+    def _polyfill_fleet(spark, sf_dir):
+        # 50-polygon fleet rasterized at res 5 in ONE plan (no
+        # per-polygon unions) — the many-zone tiling throughput shape.
+        from rhealpixdggs_spark.operators.tiling import polyfill_many
+
+        zones = {
+            f"z{i}": [([
+                (-160.0 + i * 6.0, -20.0), (-154.0 + i * 6.0, -22.0),
+                (-157.0 + i * 6.0, 10.0),
+            ], [])]
+            for i in range(50)
+        }
+        return polyfill_many(spark, zones, 5)
+
     qs = dict(entrymod.queries())
     qs["minhash_sig_xxhash64"] = _minhash_scale_path
+    qs["polyfill_fleet"] = _polyfill_fleet
     for name in [
         "encode_points_res9",
         "parent_rollup",
@@ -150,6 +165,7 @@ def run_headline(spark, sf_dir: str) -> dict:
         "tpch_pricing",
         "revenue_by_nation",
         "raster_to_vector",
+        "polyfill_fleet",
     ]:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []

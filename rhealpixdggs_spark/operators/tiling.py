@@ -797,8 +797,16 @@ def polyfill_many(
         )
         return pd.Series(KC.suid_strings(face_a, digits), index=ix.index)
 
-    # multi-part zones can emit a cell from several parts' spans
-    cand = g.select("zone", idx_to_suid(idx).alias("tile_id")).distinct()
+    # Dedupe multi-part zones on the packed int64 BEFORE decoding:
+    # the distinct's shuffle is 8-byte keys, and it spreads the
+    # decode + centroid Arrow passes across the full shuffle
+    # parallelism instead of the few input partitions of the tiny
+    # spans table.
+    cand = (
+        g.select("zone", idx.alias("_idx"))
+        .distinct()
+        .select("zone", idx_to_suid(F.col("_idx")).alias("tile_id"))
+    )
     c = rhp_centroid(F.col("tile_id"), cfg, plane=False)
     cand = cand.withColumn("_c", c)
 
