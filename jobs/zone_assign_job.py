@@ -49,6 +49,10 @@ def main(argv=None) -> None:
     spark = SparkSession.builder.appName("rhp-zone-assign").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    from rhealpixdggs_spark.session import tune_sql_conf
+
+    tune_sql_conf(spark)
+
     from rhealpixdggs_spark.functions.udfs import rhp_encode
     from rhealpixdggs_spark.operators.joins import containment_join
     from rhealpixdggs_spark.operators.tiling import zone_tiles_many

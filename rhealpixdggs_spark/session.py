@@ -15,6 +15,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def tune_sql_conf(spark: SparkSession, shuffle_partitions: int | None = None) -> None:
+    """Apply the engine's runtime-settable SQL tuning to an EXISTING
+    session — for spark-submit jobs, where the session master/memory
+    come from the submit command and must not be overridden. Sets
+    shuffle partitions to the cluster's default parallelism (cores in
+    local mode, total executor cores on a cluster), AQE with skew-join
+    splitting, and the measured-optimal 64k Arrow batch (BENCH/
+    BASELINE.md config sweep)."""
+    if shuffle_partitions is None:
+        shuffle_partitions = spark.sparkContext.defaultParallelism
+    for k, v in {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    }.items():
+        spark.conf.set(k, v)
+
+
 def get_spark(
     app_name: str = "rhealpixdggs_spark",
     master: str | None = None,

@@ -109,6 +109,13 @@ class SnapshotTable:
 
         Returns {"written": [...], "skipped": [...]}.
         """
+        # Materialize the upstream plan ONCE: the value-discovery
+        # distinct and the per-partition slice-writes below would
+        # otherwise each recompute the full pipeline (1 + #partitions
+        # passes over the source — measured 9x wall on the 16M-page
+        # rollup job). The checkpointed set is the job's OUTPUT, which
+        # is the small side by construction.
+        df = df.localCheckpoint(eager=True)
         if partition_values is None:
             partition_values = [
                 r[0] for r in df.select(partition_col).distinct().collect()
