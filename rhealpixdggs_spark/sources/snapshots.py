@@ -109,18 +109,22 @@ class SnapshotTable:
 
         Returns {"written": [...], "skipped": [...]}.
         """
-        # Materialize the upstream plan ONCE: the value-discovery
-        # distinct and the per-partition slice-writes below would
-        # otherwise each recompute the full pipeline (1 + #partitions
-        # passes over the source — measured 9x wall on the 16M-page
-        # rollup job). The checkpointed set is the job's OUTPUT, which
-        # is the small side by construction.
-        df = df.localCheckpoint(eager=True)
+        # Materialize the upstream plan ONCE before anything slices
+        # it: the value-discovery distinct and the per-partition
+        # slice-writes below would otherwise each recompute the full
+        # pipeline (1 + #partitions passes over the source — measured
+        # 9x wall on the 16M-page rollup job). The checkpointed set is
+        # the job's OUTPUT, the small side by construction. When the
+        # caller passes partition_values and every one is already
+        # complete (pure-resume rerun), nothing is computed at all.
+        done = self.completed_partitions()
         if partition_values is None:
+            df = df.localCheckpoint(eager=True)
             partition_values = [
                 r[0] for r in df.select(partition_col).distinct().collect()
             ]
-        done = self.completed_partitions()
+        elif any(str(v) not in done for v in partition_values):
+            df = df.localCheckpoint(eager=True)
         written, skipped = [], []
         for val in sorted(map(str, partition_values)):
             if val in done:
