@@ -33,14 +33,18 @@ A=$(run "$N" /tmp/rhp_two_size_a)
 B=$(run "$N4" /tmp/rhp_two_size_b)
 echo "$A"
 echo "$B"
-python3 - "$A" "$B" "$N" <<'EOF'
-import json, sys
-a, b, n = json.loads(sys.argv[1]), json.loads(sys.argv[2]), int(sys.argv[3])
+python3 - "$A" "$B" "$N" "$REPO" <<'EOF'
+import json, os, sys
+a, b, n, repo = json.loads(sys.argv[1]), json.loads(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 eff = (b["pages_per_sec"] / a["pages_per_sec"]) / 4
-print(json.dumps({
+out = {
     "protocol": "spark-submit --py-files, same job+input, two sizes",
     "n_cores": n, "n4_cores": 4 * n,
     "rate_n": a["pages_per_sec"], "rate_4n": b["pages_per_sec"],
     "scaling_efficiency": round(eff, 3),
-}))
+    "runs": [a, b],
+}
+print(json.dumps(out))
+with open(os.path.join(repo, "BENCH", "two_size.json"), "w") as f:
+    json.dump(out, f, indent=1)
 EOF
