@@ -1432,16 +1432,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the oracle-backed queries whose evidence is newest/most valuable.
     Oracle-backed queries ROTATE through the window across rounds so
     every one accumulates driver-green evidence: round 3 rotated IN
-    the three oracles added in round 2 (kring_interior,
-    streaming_geo_counts, lsh_cosine_topk) plus the new end-to-end
-    zone_assign, and OUT four queries driver-green in BOTH rounds 1
-    and 2 (knn_brute, cell_metrics, topk_cells,
-    tpch_returned_items). The tail (oracle-backed overflow + intentionally
+    the round-2 oracles (kring_interior, streaming_geo_counts,
+    lsh_cosine_topk), the new end-to-end zone_assign, AND the three
+    round-3 oracles (cell_geometry, neighbors, linetrace) — rotating
+    OUT seven queries hash-green in prior rounds (knn_brute,
+    cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
+    knn_rings, hierarchy_ops), so after this round EVERY oracle-backed
+    query has driver-green evidence on record. The tail
+    (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
-        "encode_cells_res5": _q_encode_cells,
+        "cell_geometry": _q_cell_geometry,
         "encode_points_res9": _q_encode_res9,
         "parent_rollup": _q_parent_rollup,
         "kring_interior": _q_kring_interior,
@@ -1449,13 +1452,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_packed": _q_containment_packed,
         "streaming_geo_counts": _q_streaming_geo_counts,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
-        "knn_rings": _q_knn_rings,
+        "neighbors": _q_neighbors,
         "knn_adaptive": _q_knn_adaptive,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "cell_boundary_quads": _q_cell_boundary_quads,
         "cell_centroid_quads": _q_cell_centroid_quads,
-        "hierarchy_ops": _q_hierarchy_ops,
+        "linetrace": _q_linetrace,
         "subcells": _q_subcells,
         "compress_cells": _q_compress_cells,
         "cell_from_region": _q_cell_from_region,
@@ -1503,10 +1506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": _q_knn_brute,
         "cell_metrics": _q_cell_metrics,
         "topk_cells": _q_topk_cells,
-        # -- oracle-backed, added round 3 (never yet driver-windowed)
-        "cell_geometry": _q_cell_geometry,
-        "neighbors": _q_neighbors,
-        "linetrace": _q_linetrace,
+        "encode_cells_res5": _q_encode_cells,
+        "knn_rings": _q_knn_rings,
+        "hierarchy_ops": _q_hierarchy_ops,
         # -- rows-only (no SQL twin; see oracle_sql() tail comment)
         "kring_sizes": _q_kring_sizes,
         "s2_cross_index": _q_s2_cross_index,
