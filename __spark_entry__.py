@@ -852,6 +852,22 @@ def _q_dedup_groups(spark, sf_dir):
     )
 
 
+def _q_span_dedup(spark, sf_dir):
+    """Cross-document duplicated 8-token spans (exact-substring dedup
+    catalog) over documents + planted byte-identical copies."""
+    from rhealpixdggs_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_docs_with_dups(spark, sf_dir), width=8, min_docs=2)
+
+
+def _q_source_rollup(spark, sf_dir):
+    """Per-source corpus quality/size rollup (single hash-agg with
+    map-side partials; every measure integer-exact or min/max)."""
+    from rhealpixdggs_spark.operators.corpus import source_rollup
+
+    return source_rollup(_t(spark, sf_dir, "documents"))
+
+
 def _emb_with_near_dups(spark, sf_dir):
     """embeddings plus planted scaled copies (x2, same direction ->
     cosine 1.0) for near-dup recall."""
@@ -1509,6 +1525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_cells_res5": _q_encode_cells,
         "knn_rings": _q_knn_rings,
         "hierarchy_ops": _q_hierarchy_ops,
+        # new in round 3 (oracle-backed; rotation candidates for r04)
+        "span_dedup": _q_span_dedup,
+        "source_rollup": _q_source_rollup,
         # -- rows-only (no SQL twin; see oracle_sql() tail comment)
         "kring_sizes": _q_kring_sizes,
         "s2_cross_index": _q_s2_cross_index,
@@ -2202,6 +2221,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, count(*) AS dup_count,
               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
             FROM u GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "span_dedup": f"""
+            WITH u AS ({_DOCS_WITH_DUPS_SQL}),
+            t AS (SELECT doc_id, {_TOKENIZE_LOWER} AS toks FROM u),
+            s AS (SELECT doc_id,
+                    unnest(list_transform(range(len(toks) - 7),
+                      i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')))
+                    AS span
+                  FROM t WHERE len(toks) >= 8),
+            d AS (SELECT span, doc_id, count(*) AS occ FROM s GROUP BY 1, 2),
+            g AS (SELECT span, count(*) AS n_docs,
+                    CAST(sum(occ) AS BIGINT) AS n_occ,
+                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                      AS doc_ids
+                  FROM d GROUP BY 1)
+            SELECT md5(span) AS span_fp, span, n_docs, n_occ, doc_ids
+            FROM g WHERE n_docs >= 2
+        """,
+        "source_rollup": f"""
+            WITH per AS (
+              SELECT source, lang, {ntok} AS ntok,
+                CAST(round(({quality}) * 1000000) AS BIGINT) AS q6
+              FROM documents)
+            SELECT source,
+              count(*) AS n_docs,
+              CAST(sum(ntok) AS BIGINT) AS total_tokens,
+              count(DISTINCT lang) AS n_langs,
+              round(min(q6) / 1000000.0, 6) + 0.0 AS min_quality,
+              round(CAST(sum(q6) AS DOUBLE) / count(*) / 1000000.0, 6) + 0.0
+                AS avg_quality,
+              round(max(q6) / 1000000.0, 6) + 0.0 AS max_quality
+            FROM per GROUP BY source
         """,
         "near_dup_embeddings": """
             WITH u AS (

@@ -111,3 +111,19 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     # zip_with pads the shorter side with nulls; trim to size-n+1.
     grams = F.slice(grams, 1, F.size(toks) - (n - 1))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+
+
+def token_spans(text: Column, width: int) -> Column:
+    """All width-token sliding spans of a document (stride 1), space-
+    joined, lowercase. Unlike word_ngrams there is no short-document
+    fallback: documents with fewer than ``width`` tokens yield an empty
+    array — exact-substring dedup never matches on partial windows."""
+    toks = tokens(F.lower(text))
+    spans = toks
+    for k in range(1, width):
+        shifted = F.slice(toks, k + 1, F.size(toks) - k)
+        spans = F.zip_with(spans, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    spans = F.slice(spans, 1, F.size(toks) - (width - 1))
+    return F.when(
+        F.size(toks) < width, F.array().cast("array<string>")
+    ).otherwise(spans)

@@ -1,0 +1,75 @@
+"""Corpus-level rollups for web-scale document tables.
+
+Per-source (host-like key) quality/size statistics — the report a
+crawl-curation pipeline runs before deciding which hosts to keep,
+re-crawl, or down-weight. All pure pyspark.sql.functions; every
+measure is either an integer sum/count or a min/max of an
+already-rounded value, so results are bit-deterministic under any
+partitioning (no float-sum ordering effects) and verifiable
+value-for-value against the ANSI-SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score, token_count
+
+# quality_score is rounded to 6 decimals; scaling by 1e6 and rounding
+# to a long makes per-document quality an exact integer, so the
+# cross-partition sum (and therefore the mean) is order-independent.
+_Q_SCALE = 1_000_000
+
+
+def source_rollup(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus statistics: document count, total tokens,
+    language spread, and exact min/mean/max heuristic quality.
+
+    Scale shape: ONE hash aggregation with map-side partials. At 1e12
+    pages over a bounded host universe the shuffle carries only one
+    partial row per (task, source) — skewed hosts are harmless because
+    partials collapse per-partition before the exchange; the distinct
+    language count rides the same shuffle as an approximate-free
+    two-level agg (exact, since (source, lang) cardinality is tiny).
+    """
+    q6 = F.round(quality_score(F.col(text_col)) * _Q_SCALE).cast("long")
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        token_count(F.col(text_col)).alias("ntok"),
+        q6.alias("q6"),
+    )
+    # exact distinct-lang count without a second shuffle over the raw
+    # table: first collapse to (source, lang) partials, then count.
+    by_lang = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("tok"),
+        F.sum("q6").alias("sq6"),
+        F.min("q6").alias("minq6"),
+        F.max("q6").alias("maxq6"),
+    )
+    rolled = by_lang.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("sq6").alias("sq6"),
+        F.min("minq6").alias("minq6"),
+        F.max("maxq6").alias("maxq6"),
+    )
+    return rolled.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        (F.round(F.col("minq6") / _Q_SCALE, 6) + F.lit(0.0)).alias("min_quality"),
+        (
+            F.round(F.col("sq6") / F.col("n_docs") / _Q_SCALE, 6) + F.lit(0.0)
+        ).alias("avg_quality"),
+        (F.round(F.col("maxq6") / _Q_SCALE, 6) + F.lit(0.0)).alias("max_quality"),
+    )

@@ -250,3 +250,54 @@ def embedding_near_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    width: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span catalog — the exact-substring
+    dedup pattern (find every width-token window that occurs verbatim
+    in >= min_docs distinct documents; excising those windows is how
+    training corpora drop boilerplate and syndicated text).
+
+    Plan shape, chosen for 100 TB: tokenize -> one-pass zip_with
+    sliding windows (linear in tokens; no quadratic slicing) ->
+    explode -> per-(span, doc) partial count (map-side combine folds
+    within-doc repeats BEFORE the wide shuffle) -> hash-agg on the
+    span alone. The only wide exchange is keyed by the span text
+    (uniformly distributed; no skew), and its input is at most one
+    row per (distinct span, doc) — not one per occurrence. The
+    catalog joins back to the corpus on ``span_fp`` for excision.
+
+    Output: span_fp (portable md5 key), span, n_docs, n_occ (total
+    occurrences incl. within-doc repeats), doc_ids (sorted, joined).
+    """
+    from ..functions.text import token_spans
+
+    occ = (
+        df.select(F.col(id_col), F.explode(token_spans(F.col(text_col), width)).alias("span"))
+        .groupBy("span", id_col)
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        occ.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occ"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(id_col)),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            F.md5("span").alias("span_fp"), "span", "n_docs", "n_occ", "doc_ids"
+        )
+    )

@@ -220,6 +220,61 @@ class TestDedupText:
         assert got.fp.tolist() == exp_fp.tolist()
         assert got.q.between(0, 1).all()
 
+    def test_duplicated_spans(self, spark):
+        from rhealpixdggs_spark.operators.dedup import duplicated_spans
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        rows = [
+            (1, shared + " one"),
+            (2, "lead " + shared),
+            (3, "totally different words with no window overlap at all x"),
+            (4, "short doc"),  # < 8 tokens: contributes no spans
+            (5, shared + " " + shared),  # within-doc repeats count in n_occ
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.span: r for r in duplicated_spans(df, width=8).collect()}
+        assert shared in got
+        r = got[shared]
+        assert r.n_docs == 3 and r.doc_ids == "1,2,5"
+        # doc 5 holds the shared window twice (at offsets 0 and 8)
+        assert r.n_occ == 4
+        # no span from the singleton or the short doc survives
+        assert all("different" not in s for s in got)
+        import hashlib
+
+        assert r.span_fp == hashlib.md5(shared.encode()).hexdigest()
+
+    def test_duplicated_spans_plan_partial_agg(self, spark):
+        """The wide shuffle must be keyed by (span) after a per-(span,
+        doc) partial — two HashAggregate pairs, no doc_id in the final
+        exchange key."""
+        from rhealpixdggs_spark.operators.dedup import duplicated_spans
+
+        df = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
+        plan = duplicated_spans(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 2
+        first_exchange = plan[plan.index("Exchange hashpartitioning"):]
+        last_exchange = first_exchange[first_exchange.index("Exchange hashpartitioning", 1):]
+        assert last_exchange.splitlines()[0].count("doc_id") == 1  # (span, doc) partial
+        assert first_exchange.splitlines()[0].count("doc_id") == 0  # final: span only
+
+    def test_source_rollup(self, spark):
+        from rhealpixdggs_spark.operators.corpus import source_rollup
+
+        rows = [
+            ("h1", "en", "the cat and the dog sat"),
+            ("h1", "de", "der hund und die katze"),
+            ("h2", "en", "a b"),
+        ]
+        df = spark.createDataFrame(rows, ["source", "lang", "text"])
+        got = {r.source: r for r in source_rollup(df).collect()}
+        assert got["h1"].n_docs == 2 and got["h1"].n_langs == 2
+        assert got["h1"].total_tokens == 11
+        assert got["h2"].n_docs == 1 and got["h2"].n_langs == 1
+        for r in got.values():
+            assert r.min_quality <= r.avg_quality <= r.max_quality
+            assert 0.0 <= r.min_quality and r.max_quality <= 1.0
+
 
 class TestSimilarity:
     def test_cosine_topk_brute_vs_numpy(self, spark, sf_dir):
