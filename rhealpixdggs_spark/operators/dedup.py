@@ -258,6 +258,8 @@ def duplicated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shuffle_key: str = "text",
+    max_ids: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-span catalog — the exact-substring
     dedup pattern (find every width-token window that occurs verbatim
@@ -268,26 +270,73 @@ def duplicated_spans(
     sliding windows (linear in tokens; no quadratic slicing) ->
     explode -> per-(span, doc) partial count (map-side combine folds
     within-doc repeats BEFORE the wide shuffle) -> hash-agg on the
-    span alone. The only wide exchange is keyed by the span text
-    (uniformly distributed; no skew), and its input is at most one
-    row per (distinct span, doc) — not one per occurrence. The
-    catalog joins back to the corpus on ``span_fp`` for excision.
+    span alone. Both exchanges are keyed by the span (uniformly
+    distributed; no skew), and the wide one carries at most one row
+    per (distinct span, doc) — not one per occurrence. The catalog
+    joins back to the corpus on ``span_fp`` for excision.
+
+    shuffle_key='text' groups on the span text itself (oracle-exact,
+    SQL-reproducible). shuffle_key='xxhash64' is the scale variant:
+    both aggregations key on the 8-byte xxhash64 of the span instead
+    of the ~width*6-byte text, shrinking shuffle keys and hash-table
+    probes; the span text rides along as a min() payload. Identical
+    output barring xxhash64 collisions.
+
+    max_ids bounds the doc_ids member list to the sorted prefix. At
+    corpus scale a boilerplate span can occur in millions of documents
+    — an unbounded collect_list is a per-group OOM. The cap is
+    enforced BEFORE collection (window row_number over the same span
+    key — no extra exchange; counts come from window aggregates over
+    the uncapped partition), so per-group state is O(max_ids); full
+    membership stays recoverable by joining back on span_fp.
 
     Output: span_fp (portable md5 key), span, n_docs, n_occ (total
     occurrences incl. within-doc repeats), doc_ids (sorted, joined).
     """
     from ..functions.text import token_spans
 
-    occ = (
-        df.select(F.col(id_col), F.explode(token_spans(F.col(text_col), width)).alias("span"))
-        .groupBy("span", id_col)
-        .agg(F.count(F.lit(1)).alias("occ"))
+    spans = df.select(
+        F.col(id_col), F.explode(token_spans(F.col(text_col), width)).alias("span")
     )
-    return (
-        occ.groupBy("span")
-        .agg(
+    if shuffle_key == "xxhash64":
+        keyed = spans.select(F.xxhash64("span").alias("_k"), "span", id_col)
+        occ = keyed.groupBy("_k", id_col).agg(
+            F.count(F.lit(1)).alias("occ"), F.min("span").alias("span")
+        )
+        key = "_k"
+        span_agg = [F.min("span").alias("span")]
+    elif shuffle_key == "text":
+        occ = spans.groupBy("span", id_col).agg(F.count(F.lit(1)).alias("occ"))
+        key = "span"
+        span_agg = []
+    else:
+        raise ValueError(
+            f"unknown shuffle_key {shuffle_key!r} (use 'text' or 'xxhash64')"
+        )
+    if max_ids is None:
+        count_aggs = [
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("occ").cast("long").alias("n_occ"),
+        ]
+    else:
+        # counts from window aggregates over the UNCAPPED span group,
+        # then keep only the first max_ids member rows for collection.
+        w = Window.partitionBy(key)
+        occ = (
+            occ.withColumn("_nd", F.count(F.lit(1)).over(w))
+            .withColumn("_no", F.sum("occ").over(w))
+            .withColumn("_rn", F.row_number().over(w.orderBy(id_col)))
+            .where(F.col("_rn") <= max_ids)
+        )
+        count_aggs = [
+            F.min("_nd").alias("n_docs"),
+            F.min("_no").cast("long").alias("n_occ"),
+        ]
+    return (
+        occ.groupBy(key)
+        .agg(
+            *span_agg,
+            *count_aggs,
             F.array_join(
                 F.transform(
                     F.sort_array(F.collect_list(id_col)),

@@ -258,6 +258,35 @@ class TestDedupText:
         assert last_exchange.splitlines()[0].count("doc_id") == 1  # (span, doc) partial
         assert first_exchange.splitlines()[0].count("doc_id") == 0  # final: span only
 
+    def test_duplicated_spans_scale_variants(self, spark, sf_dir):
+        """xxhash64 shuffle key and the bounded member cap reproduce
+        the text-keyed catalog (counts never capped)."""
+        from rhealpixdggs_spark.operators.dedup import duplicated_spans
+
+        docs = self._docs(spark, sf_dir).select("doc_id", "text")
+        dup = docs.unionByName(
+            docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+        base = {
+            r.span_fp: r for r in duplicated_spans(dup, width=8).collect()
+        }
+        assert base  # planted dups guarantee positives
+        hashed = {
+            r.span_fp: r
+            for r in duplicated_spans(dup, width=8, shuffle_key="xxhash64").collect()
+        }
+        assert {k: (v.span, v.n_docs, v.n_occ, v.doc_ids) for k, v in base.items()} == {
+            k: (v.span, v.n_docs, v.n_occ, v.doc_ids) for k, v in hashed.items()
+        }
+        capped = {
+            r.span_fp: r for r in duplicated_spans(dup, width=8, max_ids=1).collect()
+        }
+        assert set(capped) == set(base)
+        for k, r in capped.items():
+            b = base[k]
+            assert (r.n_docs, r.n_occ) == (b.n_docs, b.n_occ)
+            assert r.doc_ids == b.doc_ids.split(",")[0]
+
     def test_source_rollup(self, spark):
         from rhealpixdggs_spark.operators.corpus import source_rollup
 
