@@ -1450,11 +1450,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every one accumulates driver-green evidence: round 3 rotated IN
     the round-2 oracles (kring_interior, streaming_geo_counts,
     lsh_cosine_topk), the new end-to-end zone_assign, AND the three
-    round-3 oracles (cell_geometry, neighbors, linetrace) — rotating
-    OUT seven queries hash-green in prior rounds (knn_brute,
-    cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
-    knn_rings, hierarchy_ops), so after this round EVERY oracle-backed
-    query has driver-green evidence on record. The tail
+    round-3 oracles (cell_geometry, neighbors, linetrace) plus the
+    late-round span_dedup and source_rollup — rotating OUT nine
+    queries hash-green in prior rounds (knn_brute, cell_metrics,
+    topk_cells, tpch_returned_items, encode_cells_res5, knn_rings,
+    hierarchy_ops, containment_packed, interval_scan), so after this
+    round EVERY oracle-backed query has driver-green evidence on
+    record. The tail
     (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
@@ -1465,7 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_rollup": _q_parent_rollup,
         "kring_interior": _q_kring_interior,
         "containment_join": _q_containment_join,
-        "containment_packed": _q_containment_packed,
+        "span_dedup": _q_span_dedup,
         "streaming_geo_counts": _q_streaming_geo_counts,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "neighbors": _q_neighbors,
@@ -1481,7 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimal_cover": _q_minimal_cover,
         "salted_cell_agg": _q_salted_cell_agg,
         "grid_res3": _q_grid_res3,
-        "interval_scan": _q_interval,
+        "source_rollup": _q_source_rollup,
         "neighbors_interior": _q_neighbors_interior,
         "region_cover_ell": _q_region_cover_ell,
         "region_cover_planar": _q_region_cover_planar,
@@ -1512,7 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (r01: doc_fingerprint..events_window; r01+r02:
-        # knn_brute, cell_metrics, topk_cells rotated out this round)
+        # knn_brute..interval_scan rotated out this round to make room
+        # for the two late-round-3 oracles span_dedup/source_rollup)
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1525,9 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_cells_res5": _q_encode_cells,
         "knn_rings": _q_knn_rings,
         "hierarchy_ops": _q_hierarchy_ops,
-        # new in round 3 (oracle-backed; rotation candidates for r04)
-        "span_dedup": _q_span_dedup,
-        "source_rollup": _q_source_rollup,
+        "containment_packed": _q_containment_packed,
+        "interval_scan": _q_interval,
         # -- rows-only (no SQL twin; see oracle_sql() tail comment)
         "kring_sizes": _q_kring_sizes,
         "s2_cross_index": _q_s2_cross_index,
