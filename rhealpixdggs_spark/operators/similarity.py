@@ -1,9 +1,19 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k is the exactness baseline (single scan +
-window); the scale path buckets vectors with signed random projections
-(LSH) so the candidate join is an equi-join on bucket id, then exact
-re-rank inside buckets.
+window); the scale paths bucket vectors so the candidate join is an
+equi-join on a bucket id followed by an exact re-rank inside buckets:
+
+- LSH: signed random projections, 2^n_planes buckets, no training.
+- IVF: a k-centroid coarse quantizer; each vector lives in the cell
+  of its nearest centroid, queries probe the `nprobe` nearest cells.
+  `ivf_train` runs Lloyd iterations as DataFrame aggregations; a
+  fixed seeded codebook (`ivf_codebook`) is the zero-training
+  variant whose literals an external SQL oracle can reproduce.
+
+Both scale paths keep the candidate-generation math JVM-side
+(zip_with/aggregate dot products over literal arrays — no UDF), so
+bucketing fuses into the scan's codegen stage.
 """
 
 from __future__ import annotations
@@ -69,6 +79,114 @@ def rp_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
         arr = F.array(*[F.lit(float(x)) for x in p])
         bucket = bucket + F.when(dot_expr(vec, arr) > 0, F.lit(1 << i)).otherwise(0)
     return bucket
+
+
+def ivf_codebook(dim: int, k: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-norm coarse-quantizer codebook. Serves as
+    the Lloyd initializer AND as the zero-training IVF variant whose
+    centroid literals a SQL twin can embed verbatim."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _lit_arr(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def ivf_dots_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of <vec, centroid_i> dot products (JVM-side)."""
+    return F.array(*[dot_expr(vec, _lit_arr(c)) for c in centroids])
+
+
+def ivf_assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based id of the max-dot-product centroid; ties break to the
+    lowest id (array_position returns the first occurrence)."""
+    dots = ivf_dots_expr(vec, centroids)
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_probes_expr(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The `nprobe` centroid ids nearest to `vec`, by dot product
+    descending with id-ascending tie-break — struct array_sort on
+    (-dot, id), no UDF."""
+    dots = ivf_dots_expr(vec, centroids)
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
+                (-F.element_at(dots, i + 1)).alias("nd"), i.cast("int").alias("ix")
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["ix"])
+
+
+def ivf_train(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Lloyd refinement of the seeded codebook, expressed as Spark
+    aggregations: assign (JVM argmin) -> posexplode -> per-(cluster,
+    dimension) mean. The only driver materialization per iteration is
+    the k x dim centroid table itself (a few KB — the model, not the
+    data), so the loop scales to any corpus size. Empty clusters keep
+    their previous centroid."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    cents = ivf_codebook(dim, k, seed)
+    v = df.select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    for _ in range(iters):
+        assigned = v.withColumn("c", ivf_assign_expr(F.col("v"), cents))
+        means = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for row in means:
+            new[row["c"]][row["pos"]] = row["m"]
+        cents = new
+    return cents
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec: str = "q_embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF: vectors equi-join queries on the
+    coarse-quantizer cell (each query probes its `nprobe` nearest
+    cells), exact cosine re-rank inside the probed cells. At scale
+    the vectors table is written partitioned/bucketed by `cluster`,
+    making the candidate join shuffle-free and letting Spark prune
+    unprobed cells at the scan; recall/cost trades on (k_centroids,
+    nprobe)."""
+    v = vectors.withColumn("cluster", ivf_assign_expr(F.col(vec_col), centroids))
+    q = queries.withColumn(
+        "cluster", F.explode(ivf_probes_expr(F.col(query_vec), centroids, nprobe))
+    )
+    joined = v.join(F.broadcast(q), "cluster")
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        joined.withColumn(
+            "cos", F.round(cosine_expr(F.col(vec_col), F.col(query_vec)), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cos", "rank")
+    )
 
 
 def cosine_topk_lsh(

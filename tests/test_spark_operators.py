@@ -445,3 +445,241 @@ class TestMixedResContainment:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") == 1
         assert plan.count("BroadcastHashJoin") == 1
+
+
+class TestAsofJoin:
+    def _sides(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        left = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        right = (
+            ev.where(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(
+                F.max("event_id").alias("click_id"),
+                F.max("value").alias("click_value"),
+            )
+        )
+        return left, right
+
+    def test_asof_matches_duckdb(self, spark, sf_dir):
+        """Full-column equality against DuckDB's native ASOF LEFT
+        JOIN on the same parquet."""
+        import duckdb
+
+        from rhealpixdggs_spark.operators.temporal import asof_join
+
+        left, right = self._sides(spark, sf_dir)
+        got = (
+            asof_join(left, right, on="ts", by="user_id")
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        exp = con.sql(
+            """
+            WITH l AS (SELECT event_id, ts, user_id, value FROM events
+                       WHERE event_type='purchase'),
+            r AS (SELECT user_id, ts, max(event_id) AS click_id,
+                         max(value) AS click_value
+                  FROM events WHERE event_type='click' GROUP BY 1, 2)
+            SELECT l.event_id, l.ts, l.value, l.user_id,
+                   r.ts AS ts_r, r.click_id, r.click_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+            """
+        ).df()
+        # Spark's toPandas yields datetime64[ns], DuckDB datetime64[us];
+        # normalize units so the value compare is unit-agnostic.
+        for df in (got, exp):
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime64"):
+                    df[c] = df[c].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)],
+            exp[sorted(exp.columns)],
+            check_dtype=False,
+        )
+
+    def test_asof_tolerance_nulls_stale_matches(self, spark):
+        from rhealpixdggs_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100.0, "a"), (2, 205.0, "a"), (3, 10.0, "b")],
+            ["eid", "t", "k"],
+        ).select("eid", F.col("t").alias("ts"), F.col("k").alias("key"))
+        right = spark.createDataFrame(
+            [(99.0, "a", 7.0), (200.0, "a", 8.0)], ["t", "k", "payload"]
+        ).select(F.col("t").alias("ts"), F.col("k").alias("key"), "payload")
+        got = {
+            r.eid: (r.payload, r.ts_r)
+            for r in asof_join(
+                left, right, on="ts", by="key", tolerance=2.0
+            ).collect()
+        }
+        assert got[1] == (7.0, 99.0)  # within tolerance (1.0)
+        assert got[2] == (None, None)  # nearest is 5.0 back -> stale
+        assert got[3] == (None, None)  # no right row for key b
+
+    def test_asof_tie_at_equal_ts_is_visible(self, spark):
+        from rhealpixdggs_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame([(1, 50.0, "a")], ["eid", "ts", "key"])
+        right = spark.createDataFrame(
+            [(50.0, "a", 3.0)], ["ts", "key", "payload"]
+        )
+        row = asof_join(left, right, on="ts", by="key").collect()[0]
+        assert (row.payload, row.ts_r) == (3.0, 50.0)
+
+    def test_asof_single_exchange(self, spark, sf_dir):
+        """One wide shuffle total: both sides union into a single
+        hash partitioning on the key; no extra Exchange per payload
+        column."""
+        from rhealpixdggs_spark.operators.temporal import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        left = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        # Right side WITHOUT a pre-aggregation so the only Exchange in
+        # the plan is the one the asof join itself requires.
+        right = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        plan = (
+            asof_join(left, right, on="ts", by="user_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        # All carried payload columns fuse into ONE Window node.
+        assert plan.count("Window [") == 1
+
+
+class TestIVF:
+    def _emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+
+    def _queries(self, emb):
+        return emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+
+    def test_probe_all_cells_equals_brute(self, spark, sf_dir):
+        """nprobe == k_centroids degenerates to the exact scan: every
+        query probes every cell, so the result must equal brute-force
+        top-k exactly."""
+        from rhealpixdggs_spark.operators.similarity import (
+            cosine_topk_ivf,
+            ivf_codebook,
+        )
+
+        emb = self._emb(spark, sf_dir)
+        q = self._queries(emb)
+        cents = ivf_codebook(64, 8)
+        ivf = cosine_topk_ivf(emb, q, k=5, centroids=cents, nprobe=8).toPandas()
+        brute = cosine_topk_brute(emb, q, 5).toPandas()
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            ivf.sort_values(key).reset_index(drop=True),
+            brute.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_recall_monotone_in_nprobe(self, spark, sf_dir):
+        from rhealpixdggs_spark.operators.similarity import (
+            cosine_topk_ivf,
+            ivf_codebook,
+        )
+
+        emb = self._emb(spark, sf_dir)
+        q = self._queries(emb)
+        cents = ivf_codebook(64, 8)
+        brute = {
+            (r.query_id, r.vec_id)
+            for r in cosine_topk_brute(emb, q, 5).collect()
+        }
+        recalls = []
+        for nprobe in (1, 4, 8):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in cosine_topk_ivf(
+                    emb, q, k=5, centroids=cents, nprobe=nprobe
+                ).collect()
+            }
+            recalls.append(len(got & brute) / len(brute))
+        assert recalls == sorted(recalls)
+        assert recalls[-1] == 1.0
+
+    def test_assignment_matches_numpy(self, spark, sf_dir):
+        from rhealpixdggs_spark.operators.similarity import (
+            ivf_assign_expr,
+            ivf_codebook,
+        )
+
+        emb = self._emb(spark, sf_dir)
+        cents = ivf_codebook(64, 8)
+        got = (
+            emb.select(
+                "vec_id", ivf_assign_expr(F.col("embedding"), cents).alias("c")
+            )
+            .toPandas()
+            .set_index("vec_id")["c"]
+        )
+        pdf = emb.toPandas()
+        M = np.stack(pdf.embedding.to_numpy())
+        exp = (M @ np.asarray(cents).T).argmax(axis=1)
+        assert (got.loc[pdf.vec_id].to_numpy() == exp).all()
+
+    def test_train_reduces_quantization_error(self, spark, sf_dir):
+        """Lloyd iterations must not increase the mean distance to the
+        assigned centroid (the k-means objective is non-increasing)."""
+        from rhealpixdggs_spark.operators.similarity import (
+            ivf_codebook,
+            ivf_train,
+        )
+
+        emb = self._emb(spark, sf_dir)
+        pdf = emb.toPandas()
+        M = np.stack(pdf.embedding.to_numpy())
+
+        def sse(cents):
+            C = np.asarray(cents)
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            return d.min(axis=1).sum()
+
+        c0 = ivf_codebook(64, 8)
+        c3 = ivf_train(emb, k=8, iters=3)
+        assert sse(c3) <= sse(c0)
+
+    def test_probes_are_top_dots(self, spark, sf_dir):
+        from rhealpixdggs_spark.operators.similarity import (
+            ivf_codebook,
+            ivf_probes_expr,
+        )
+
+        emb = self._emb(spark, sf_dir).limit(20)
+        cents = ivf_codebook(64, 8)
+        got = emb.select(
+            "vec_id",
+            ivf_probes_expr(F.col("embedding"), cents, 3).alias("probes"),
+        ).toPandas()
+        pdf = emb.toPandas()
+        M = np.stack(pdf.embedding.to_numpy())
+        D = M @ np.asarray(cents).T
+        for row, d in zip(got.itertuples(), D):
+            exp = np.lexsort((np.arange(8), -d))[:3].tolist()
+            assert list(row.probes) == exp
