@@ -916,6 +916,59 @@ def _q_lsh_cosine_topk(spark, sf_dir):
     return cosine_topk_lsh(emb, queries_df, k=5, dim=dim, n_planes=4)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: 4-centroid coarse quantizer (fixed
+    seeded codebook — the zero-training variant), nprobe=2, exact
+    cosine re-rank inside probed cells. The oracle embeds the same
+    codebook literals and re-derives assignment/probing in SQL."""
+    from rhealpixdggs_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _doubled(F.col("embedding")).alias("embedding")
+    )
+    queries_df = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = ivf_codebook(dim=64, k=4, seed=7)
+    return cosine_topk_ivf(emb, queries_df, k=5, centroids=cents, nprobe=2)
+
+
+def _q_asof_attribution(spark, sf_dir):
+    """Purchase->latest-prior-click attribution per user via the
+    distributed as-of join (operators/temporal.py). Timestamps go out
+    as microsecond-precision strings (identical format both engines,
+    NULL-safe for unmatched left rows); value columns are parquet
+    pass-throughs (no arithmetic), so no rounding is needed."""
+    from rhealpixdggs_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max("value").alias("click_value"),
+        )
+    )
+    out = asof_join(left, right, on="ts", by="user_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        "user_id",
+        "value",
+        F.date_format("ts_r", fmt).alias("click_ts"),
+        "click_id",
+        "click_value",
+    )
+
+
 # equatorial test polygon (with a hole) for the oracled polyfill —
 # all candidate cells are quads, so the SQL centroid twin applies.
 EQ_POLY_EXT = [(-20.0, -10.0), (25.0, -15.0), (30.0, 20.0), (0.0, 30.0), (-20.0, -10.0)]
@@ -1451,10 +1504,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round-2 oracles (kring_interior, streaming_geo_counts,
     lsh_cosine_topk), the new end-to-end zone_assign, AND the three
     round-3 oracles (cell_geometry, neighbors, linetrace) plus the
-    late-round span_dedup and source_rollup — rotating OUT nine
+    late-round span_dedup and source_rollup — rotating OUT eleven
     queries hash-green in prior rounds (knn_brute, cell_metrics,
     topk_cells, tpch_returned_items, encode_cells_res5, knn_rings,
-    hierarchy_ops, containment_packed, interval_scan), so after this
+    hierarchy_ops, containment_packed, interval_scan, and — to make
+    room for the new asof_attribution/ivf_topk oracles — cell_nucleus
+    and cell_xy_range, both hash-green in r02), so after this
     round EVERY oracle-backed query has driver-green evidence on
     record. The tail
     (oracle-backed overflow + intentionally
@@ -1472,8 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "neighbors": _q_neighbors,
         "knn_adaptive": _q_knn_adaptive,
-        "cell_nucleus": _q_cell_nucleus,
-        "cell_xy_range": _q_cell_xy_range,
+        "asof_attribution": _q_asof_attribution,
+        "ivf_topk": _q_ivf_topk,
         "cell_boundary_quads": _q_cell_boundary_quads,
         "cell_centroid_quads": _q_cell_centroid_quads,
         "linetrace": _q_linetrace,
@@ -1516,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior round (r01: doc_fingerprint..events_window; r01+r02:
         # knn_brute..interval_scan rotated out this round to make room
         # for the two late-round-3 oracles span_dedup/source_rollup)
+        "cell_nucleus": _q_cell_nucleus,
+        "cell_xy_range": _q_cell_xy_range,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1871,6 +1928,55 @@ def _polyfill_eq_oracle_sql(res=3):
         FROM cen
         WHERE {_evenodd_sql('cx', 'cy', ext)}
           AND NOT {_evenodd_sql('cx', 'cy', hole)}
+    """
+
+
+def _ivf_topk_oracle_sql(k=5, dim=64, n_cent=4, nprobe=2, seed=7):
+    """DuckDB twin of cosine_topk_ivf: the seed-7 codebook is
+    regenerated and embedded as literal lists; cell assignment is
+    first-occurrence argmax over the dot-product list (list_position
+    + list_max ties to the lowest id, same as Spark array_position);
+    query probes are the nprobe best cells via a struct (-dot, id)
+    list_sort — lexicographic, matching Spark's array_sort."""
+    from rhealpixdggs_spark.operators.similarity import ivf_codebook
+    from rhealpixdggs_spark.oracle_sql import _r
+
+    cents = ivf_codebook(dim=dim, k=n_cent, seed=seed)
+
+    def lst(p):
+        return "[" + ", ".join(_r(x) for x in p) + "]"
+
+    def dots(vec):
+        return (
+            "["
+            + ", ".join(f"list_dot_product({vec}, {lst(c)})" for c in cents)
+            + "]"
+        )
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        a AS MATERIALIZED (
+          SELECT vec_id, v, list_position(dl, list_max(dl)) - 1 AS cluster
+          FROM (SELECT vec_id, v, {dots('v')} AS dl FROM e)),
+        q0 AS (SELECT vec_id AS query_id, v AS qv, {dots('v')} AS dl
+               FROM e WHERE vec_id < 3),
+        probes AS (
+          SELECT query_id, qv,
+            unnest(list_transform(list_slice(list_sort(
+              list_transform(range({n_cent}),
+                             i -> {{'nd': -dl[i+1], 'ix': i}})),
+              1, {nprobe}), s -> s.ix)) AS cluster
+          FROM q0),
+        d AS (SELECT p.query_id, a.vec_id,
+                round(list_dot_product(a.v, p.qv)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos
+              FROM a JOIN probes p ON a.cluster = p.cluster)
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM d) WHERE rank <= {k}
     """
 
 
@@ -2309,6 +2415,21 @@ def oracle_sql() -> dict[str, str]:
         "zone_catchment": _zone_catchment_oracle_sql(),
         "zone_assign": _zone_assign_oracle_sql(),
         "lsh_cosine_topk": _lsh_cosine_topk_oracle_sql(k=5, dim=64, n_planes=4),
+        "ivf_topk": _ivf_topk_oracle_sql(k=5, dim=64, n_cent=4, nprobe=2),
+        "asof_attribution": """
+            WITH l AS (SELECT event_id, ts, user_id, value FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts, max(event_id) AS click_id,
+                         max(value) AS click_value
+                  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT l.event_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   l.user_id, l.value,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   r.click_id, r.click_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "kring_interior": _kring_interior_oracle_sql(),
         "cell_geometry": _cell_geometry_oracle_sql(),
         "neighbors": _neighbors_oracle_sql(),
