@@ -562,6 +562,80 @@ class TestAsofJoin:
         # All carried payload columns fuse into ONE Window node.
         assert plan.count("Window [") == 1
 
+    def test_bucketed_equals_plain(self, spark, sf_dir):
+        """The bounded-partition scale variant must reproduce the
+        plain path exactly (right side unique per (by, on))."""
+        from rhealpixdggs_spark.operators.temporal import (
+            asof_join,
+            asof_join_bucketed,
+        )
+
+        left, right = self._sides(spark, sf_dir)
+        plain = (
+            asof_join(left, right, on="ts", by="user_id")
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        for width in (3600, 7 * 86400):
+            b = (
+                asof_join_bucketed(
+                    left, right, on="ts", by="user_id", bucket_width=width
+                )
+                .toPandas()
+                .sort_values("event_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                plain[sorted(plain.columns)], b[sorted(b.columns)]
+            )
+
+    def test_bucketed_numeric_tolerance_negative(self, spark):
+        """Numeric `on`, tolerance nulling, and negative positions
+        (floor bucketing, seed carried across bucket gaps)."""
+        from rhealpixdggs_spark.operators.temporal import asof_join_bucketed
+
+        left = spark.createDataFrame(
+            [(1, 100.0, "a"), (2, 205.0, "a"), (3, 10.0, "b"), (4, -50.0, "a")],
+            ["eid", "t", "k"],
+        )
+        right = spark.createDataFrame(
+            [(99.0, "a", 7.0), (200.0, "a", 8.0), (-100.0, "a", 5.0)],
+            ["t", "k", "payload"],
+        )
+        got = {
+            r.eid: (r.payload, r.t_r)
+            for r in asof_join_bucketed(
+                left, right, on="t", by="k", bucket_width=50.0, tolerance=60.0
+            ).collect()
+        }
+        assert got[1] == (7.0, 99.0)
+        assert got[2] == (8.0, 200.0)
+        assert got[3] == (None, None)  # no right rows for key b
+        assert got[4] == (5.0, -100.0)  # seed from bucket -2 into -1
+
+    def test_bucketed_window_is_bounded(self, spark, sf_dir):
+        """The heavy final window partitions on (key, bucket), never
+        on the bare key — the mega-key history can't concentrate in
+        one partition."""
+        from rhealpixdggs_spark.operators.temporal import asof_join_bucketed
+
+        left, right = self._sides(spark, sf_dir)
+        plan = (
+            asof_join_bucketed(
+                left, right, on="ts", by="user_id", bucket_width=86400
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        wide = [
+            ln
+            for ln in plan.splitlines()
+            if "windowspecdefinition" in ln and "ts_r" in ln
+        ]
+        assert wide and all("_asof_bkt" in ln for ln in wide)
+
 
 class TestIVF:
     def _emb(self, spark, sf_dir):
