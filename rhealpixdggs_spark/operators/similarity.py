@@ -218,3 +218,59 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select(query_id, id_col, "cos", "rank")
     )
+
+
+def ivf_write_partitioned(
+    vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index layout: the vectors table written
+    partitioned by coarse-quantizer cell. Queries that probe a few
+    cells then read only those directories — the pruning happens at
+    the file index, before any row is scanned. This is the 100-TB
+    shape: the one-time layout write costs a single shuffle-free
+    pass (cluster is derived, not shuffled on) and every subsequent
+    query is I/O-proportional to nprobe/k_centroids."""
+    vectors.withColumn(
+        "cluster", ivf_assign_expr(F.col(vec_col), centroids)
+    ).write.partitionBy("cluster").mode(mode).parquet(path)
+
+
+def cosine_topk_ivf_pruned(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec: str = "q_embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """cosine_topk_ivf against an ivf_write_partitioned layout. The
+    probed cell ids are computed from the (small, broadcastable)
+    query side and pushed into the scan as a partition filter, so
+    unprobed cells are never read. Returns the same columns /
+    semantics as cosine_topk_ivf."""
+    q = queries.withColumn(
+        "cluster", F.explode(ivf_probes_expr(F.col(query_vec), centroids, nprobe))
+    )
+    # The query side is small by contract (it is broadcast below);
+    # collecting its probed-cell set is a driver-side constant the
+    # optimizer turns into a partition filter — not a data collect.
+    probed = sorted({r["cluster"] for r in q.select("cluster").distinct().collect()})
+    v = spark.read.parquet(index_path).where(F.col("cluster").isin(probed))
+    joined = v.join(F.broadcast(q), "cluster")
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        joined.withColumn(
+            "cos", F.round(cosine_expr(F.col(vec_col), F.col(query_vec)), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cos", "rank")
+    )

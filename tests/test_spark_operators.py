@@ -757,3 +757,44 @@ class TestIVF:
         for row, d in zip(got.itertuples(), D):
             exp = np.lexsort((np.arange(8), -d))[:3].tolist()
             assert list(row.probes) == exp
+
+
+class TestIVFPartitionedLayout:
+    def test_pruned_path_equals_in_memory_and_prunes(self, spark, sf_dir, tmp_path):
+        """The on-disk IVF layout returns exactly what the in-memory
+        path returns, and its scan carries a cluster partition filter
+        (unprobed cells never read)."""
+        from rhealpixdggs_spark.operators.similarity import (
+            cosine_topk_ivf,
+            cosine_topk_ivf_pruned,
+            ivf_codebook,
+            ivf_write_partitioned,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        q = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        cents = ivf_codebook(64, 8)
+        path = str(tmp_path / "ivf_index")
+        ivf_write_partitioned(emb, path, cents)
+
+        pruned = cosine_topk_ivf_pruned(spark, path, q, k=5, centroids=cents, nprobe=2)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters: [cluster" in ln]
+        assert pf, "scan must carry a cluster partition filter"
+
+        mem = cosine_topk_ivf(emb, q, k=5, centroids=cents, nprobe=2).toPandas()
+        got = pruned.toPandas()
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            mem.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
