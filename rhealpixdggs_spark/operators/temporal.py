@@ -5,15 +5,23 @@ before its timestamp, per key") is the attribution / state-lookup
 primitive a training-data event pipeline needs constantly and Spark
 lacks natively. The implementation is the union + carry-forward
 window trick: tag both inputs, union them, and run ONE window pass
-per key ordered by (ts, side) with `last(..., ignorenulls=True)` to
-carry each right-side payload column forward onto the left rows.
+per key ordered by (ts, side) with `last(..., ignorenulls=True)`
+carrying the matched right row forward onto the left rows.
+
+The carried value is a single STRUCT of (ts, payload...), not one
+column per payload: a struct is non-null for every right row, so the
+carry always moves the matched row wholesale. Carrying payload
+columns independently would let a legitimately-NULL payload field
+"fill in" from an older row while its siblings came from the newer
+one — a row-mixing bug DuckDB's ASOF join does not have.
 
 Plan shape, chosen for 100 TB: a single wide Exchange keyed by the
 join key (both inputs shuffle once into the same hash partitioning),
-one Sort, one Window, one Filter — no range-explode, no per-key
-driver loop, no broadcast requirement on either side. Skewed keys
-hit the same window-partition skew as any per-key window; salt the
-key upstream if one entity dominates.
+one Sort, one Window with ONE last() aggregate, one Filter — no
+range-explode, no per-key driver loop, no broadcast requirement on
+either side. Skewed keys hit the same window-partition skew as any
+per-key window; use :func:`asof_join_bucketed` when one entity
+dominates.
 
 Semantics match DuckDB's `ASOF LEFT JOIN ... ON l.key = r.key AND
 l.ts >= r.ts` (ties included: a right row AT the left timestamp is
@@ -22,9 +30,33 @@ visible, because side 0 sorts before side 1 at equal ts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+_ON_FIELD = "_asof_on"
+
+
+def _carry_struct(on: str, right_cols: list[str]) -> Column:
+    return F.struct(
+        F.col(on).alias(_ON_FIELD), *[F.col(c).alias(c) for c in right_cols]
+    )
+
+
+def _unpack(out: DataFrame, left, by, on, ts_out, carried, tolerance) -> DataFrame:
+    """Shared tail: optional staleness nulling + struct unpack into
+    the output projection (left columns, key, matched ts, payloads)."""
+    if tolerance is not None:
+        stale = F.col(on) - F.col("_r")[_ON_FIELD] > tolerance
+        out = out.withColumn(
+            "_r", F.when(stale, F.lit(None)).otherwise(F.col("_r"))
+        )
+    return out.select(
+        *[F.col("_l_" + c).alias(c) for c in left.columns if c != by],
+        F.col(by),
+        F.col("_r")[_ON_FIELD].alias(ts_out),
+        *[F.col("_r")[c].alias(carried[c]) for c in carried],
+    )
 
 
 def asof_join(
@@ -68,16 +100,15 @@ def asof_join(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
-        F.col(on).alias(ts_out),
-        *[F.col(c).alias(carried[c]) for c in right_cols],
+        _carry_struct(on, right_cols).alias("_r"),
         *[F.lit(None).alias("_l_" + c) for c in left.columns],
     )
+    struct_t = r.schema["_r"].dataType
     l = left.select(
         F.col(by),
         F.col(on),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[on].dataType).alias(ts_out),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(carried[c]) for c in right_cols],
+        F.lit(None).cast(struct_t).alias("_r"),
         *[F.col(c).alias("_l_" + c) for c in left.columns],
     )
 
@@ -86,21 +117,11 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tagged = r.unionByName(l)
-    for c in [ts_out, *carried.values()]:
-        tagged = tagged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-
-    out = tagged.where(F.col("_side") == 1)
-    if tolerance is not None:
-        stale = F.col(on) - F.col(ts_out) > tolerance
-        for c in [*carried.values(), ts_out]:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out.select(
-        *[F.col("_l_" + c).alias(c) for c in left.columns if c != by],
-        F.col(by),
-        F.col(ts_out),
-        *[F.col(c) for c in carried.values()],
+    tagged = r.unionByName(l).withColumn(
+        "_r", F.last("_r", ignorenulls=True).over(w)
     )
+    out = tagged.where(F.col("_side") == 1)
+    return _unpack(out, left, by, on, ts_out, carried, tolerance)
 
 
 def _bucket_expr(col: Column, dtype, width) -> Column:
@@ -177,9 +198,11 @@ def asof_join_bucketed(
     )
 
     # (2) last right row per (key, bucket) — struct max keeps the row
-    # with the greatest `on` (payload fields only break exact-ts ties).
+    # with the greatest `on` (payload fields only break exact-ts
+    # ties). NULL payload fields sort low but cannot change WHICH `on`
+    # wins, only the tie pick among duplicate (by, on) rows.
     lastr = r2.groupBy(by, bkt).agg(
-        F.max(F.struct(F.col(on), *[F.col(c) for c in right_cols])).alias("_row")
+        F.max(_carry_struct(on, right_cols)).alias("_row")
     )
 
     # (3) bucket-granularity as-of: left-bucket markers sort BEFORE
@@ -187,7 +210,9 @@ def asof_join_bucketed(
     # carry-forward sees only strictly-earlier buckets.
     lb = l2.select(by, bkt).distinct().withColumn("_mside", F.lit(0))
     rb = lastr.withColumn("_mside", F.lit(1))
-    mini = lb.unionByName(rb.select(by, bkt, "_mside", "_row"), allowMissingColumns=True)
+    mini = lb.unionByName(
+        rb.select(by, bkt, "_mside", "_row"), allowMissingColumns=True
+    )
     mw = (
         Window.partitionBy(by)
         .orderBy(F.col(bkt).asc(), F.col("_mside").asc())
@@ -199,52 +224,43 @@ def asof_join_bucketed(
         .select(
             by,
             bkt,
-            F.col("_seed")[on].alias(on),
-            *[F.col("_seed")[c].alias(c) for c in right_cols],
+            F.col("_seed")[_ON_FIELD].alias(on),
+            F.col("_seed").alias("_r"),
         )
     )
 
-    # (4) final bounded window per (key, bucket).
-    def _rside(df):
-        return df.select(
-            F.col(by),
-            F.col(bkt),
-            F.col(on),
-            F.lit(0).alias("_side"),
-            F.col(on).alias(ts_out),
-            *[F.col(c).alias(carried[c]) for c in right_cols],
-            *[F.lit(None).alias("_l_" + c) for c in left.columns],
-        )
-
+    # (4) final bounded window per (key, bucket), single struct carry.
+    rrows = r2.select(
+        F.col(by),
+        F.col(bkt),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        _carry_struct(on, right_cols).alias("_r"),
+        *[F.lit(None).alias("_l_" + c) for c in left.columns],
+    )
+    struct_t = rrows.schema["_r"].dataType
+    srows = seeds.select(
+        F.col(by),
+        F.col(bkt),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        F.col("_r"),
+        *[F.lit(None).alias("_l_" + c) for c in left.columns],
+    )
     lrows = l2.select(
         F.col(by),
         F.col(bkt),
         F.col(on),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(on_type).alias(ts_out),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(carried[c])
-            for c in right_cols
-        ],
+        F.lit(None).cast(struct_t).alias("_r"),
         *[F.col(c).alias("_l_" + c) for c in left.columns],
     )
-    tagged = _rside(r2).unionByName(_rside(seeds)).unionByName(lrows)
+    tagged = rrows.unionByName(srows).unionByName(lrows)
     w = (
         Window.partitionBy(by, bkt)
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in [ts_out, *carried.values()]:
-        tagged = tagged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-
+    tagged = tagged.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
     out = tagged.where(F.col("_side") == 1)
-    if tolerance is not None:
-        stale = F.col(on) - F.col(ts_out) > tolerance
-        for c in [*carried.values(), ts_out]:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out.select(
-        *[F.col("_l_" + c).alias(c) for c in left.columns if c != by],
-        F.col(by),
-        F.col(ts_out),
-        *[F.col(c) for c in carried.values()],
-    )
+    return _unpack(out, left, by, on, ts_out, carried, tolerance)

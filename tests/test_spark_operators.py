@@ -562,6 +562,27 @@ class TestAsofJoin:
         # All carried payload columns fuse into ONE Window node.
         assert plan.count("Window [") == 1
 
+    def test_null_payload_not_row_mixed(self, spark):
+        """A legitimately-NULL payload field on the matched right row
+        must come through as NULL — not filled from an older row
+        (struct carry, DuckDB ASOF parity)."""
+        from rhealpixdggs_spark.operators.temporal import (
+            asof_join,
+            asof_join_bucketed,
+        )
+
+        left = spark.createDataFrame([(1, 10.0, "a")], ["eid", "t", "k"])
+        right = spark.createDataFrame(
+            [(5.0, "a", 1.0, 7.0), (8.0, "a", None, 9.0)],
+            ["t", "k", "payload", "other"],
+        )
+        for out in (
+            asof_join(left, right, on="t", by="k"),
+            asof_join_bucketed(left, right, on="t", by="k", bucket_width=2.0),
+        ):
+            row = out.collect()[0]
+            assert (row.t_r, row.payload, row.other) == (8.0, None, 9.0)
+
     def test_bucketed_equals_plain(self, spark, sf_dir):
         """The bounded-partition scale variant must reproduce the
         plain path exactly (right side unique per (by, on))."""
@@ -632,7 +653,7 @@ class TestAsofJoin:
         wide = [
             ln
             for ln in plan.splitlines()
-            if "windowspecdefinition" in ln and "ts_r" in ln
+            if "windowspecdefinition" in ln and "last(_r" in ln
         ]
         assert wide and all("_asof_bkt" in ln for ln in wide)
 
