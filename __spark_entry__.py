@@ -34,6 +34,7 @@ from rhealpixdggs_spark.functions.text import (
     STOPWORDS_FR,
     fingerprint,
     lang_id,
+    ngram_repetition,
     quality_score,
     token_count,
     word_ngrams,
@@ -439,6 +440,26 @@ def _q_lang_quality(spark, sf_dir):
         lang_id(F.col("text")).alias("lang_guess"),
         quality_score(F.col("text")).alias("quality"),
     )
+
+
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition-quality filter over the documents
+    table: top/duplicate n-gram character fractions for n=2,3 plus the
+    resulting keep flag (thresholds after Rae et al. 2021 table A1,
+    adapted to this corpus). All higher-order JVM expressions — at
+    1e12 pages this is a pure map stage, no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    r2 = ngram_repetition(F.col("text"), 2)
+    r3 = ngram_repetition(F.col("text"), 3)
+    out = docs.select(
+        "doc_id",
+        r2["top_frac"].alias("top2_frac"),
+        r2["dup_frac"].alias("dup2_frac"),
+        r3["top_frac"].alias("top3_frac"),
+        r3["dup_frac"].alias("dup3_frac"),
+    )
+    keep = (F.col("top2_frac") <= 0.08) & (F.col("dup2_frac") <= 0.12)
+    return out.withColumn("keep", keep.cast("int"))
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -1504,14 +1525,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round-2 oracles (kring_interior, streaming_geo_counts,
     lsh_cosine_topk), the new end-to-end zone_assign, AND the three
     round-3 oracles (cell_geometry, neighbors, linetrace) plus the
-    late-round span_dedup and source_rollup — rotating OUT eleven
-    queries hash-green in prior rounds (knn_brute, cell_metrics,
-    topk_cells, tpch_returned_items, encode_cells_res5, knn_rings,
-    hierarchy_ops, containment_packed, interval_scan, and — to make
-    room for the new asof_attribution/ivf_topk oracles — cell_nucleus
-    and cell_xy_range, both hash-green in r02), so after this
-    round EVERY oracle-backed query has driver-green evidence on
-    record. The tail
+    late-round span_dedup, source_rollup and repetition_signals —
+    rotating OUT twelve queries hash-green in prior rounds (knn_brute,
+    cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
+    knn_rings, hierarchy_ops, containment_packed, interval_scan, and —
+    to make room for the asof_attribution/ivf_topk/repetition_signals
+    oracles — cell_nucleus, cell_xy_range and revenue_by_nation, all
+    hash-green in r01+r02), so after this round EVERY oracle-backed
+    query has driver-green evidence on record. The tail
     (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
@@ -1559,7 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "lang_quality": _q_lang_quality,
         "tpch_pricing": _q_tpch_pricing,
-        "revenue_by_nation": _q_revenue_by_nation,
+        "repetition_signals": _q_repetition_signals,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
         "streaming_window": _q_streaming_window,
         "streaming_dedup": _q_streaming_dedup,
@@ -1573,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the two late-round-3 oracles span_dedup/source_rollup)
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
+        "revenue_by_nation": _q_revenue_by_nation,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1620,6 +1642,62 @@ _DOCS_WITH_DUPS_SQL = (
     "UNION ALL SELECT doc_id + 100000 AS doc_id, text "
     "FROM documents WHERE doc_id % 5 = 0"
 )
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB word n-gram builder over pre-split `toks`/`cnt` columns
+    (generalizes _GRAMS3; same short-document full-text collapse as
+    text.word_ngrams)."""
+    join = " || ' ' || ".join(f"toks[i+{k}]" for k in range(1, n + 1))
+    return (
+        f"CASE WHEN cnt < {n} THEN [array_to_string(toks, ' ')] "
+        f"ELSE list_transform(range(cnt - {n - 1}), i -> {join}) END"
+    )
+
+
+def _repetition_signals_oracle_sql() -> str:
+    """Twin of _q_repetition_signals: per-doc gram frequency via
+    unnest+GROUP BY, coverage = occurrences x gram length; BIGINT casts
+    kill DuckDB's HUGEINT sum widening before the double division."""
+    stats = """
+        SELECT doc_id, CAST(max(cnt * len) AS BIGINT) AS top,
+               CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END)
+                    AS BIGINT) AS dup,
+               CAST(sum(cnt * len) AS BIGINT) AS total
+        FROM (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS len
+              FROM (SELECT doc_id, unnest({col}) AS gram FROM g)
+              GROUP BY doc_id, gram)
+        GROUP BY doc_id
+    """
+
+    def frac(num: str, alias: str) -> str:
+        return (
+            f"CASE WHEN s{alias[3]}.total = 0 THEN 0.0 "
+            f"ELSE round(s{alias[3]}.{num} / s{alias[3]}.total, 6) + 0.0 "
+            f"END AS {alias}"
+        )
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKENIZE_LOWER} AS toks,
+                 len({_TOKENIZE_LOWER}) AS cnt
+          FROM documents),
+        g AS (SELECT doc_id, {_grams_sql(2)} AS g2, {_grams_sql(3)} AS g3
+              FROM t),
+        s2 AS ({stats.format(col="g2")}),
+        s3 AS ({stats.format(col="g3")})
+        SELECT g.doc_id,
+               {frac("top", "top2_frac")}, {frac("dup", "dup2_frac")},
+               {frac("top", "top3_frac")}, {frac("dup", "dup3_frac")},
+               CAST(CASE WHEN (CASE WHEN s2.total = 0 THEN 0.0
+                               ELSE round(s2.top / s2.total, 6) END) <= 0.08
+                          AND (CASE WHEN s2.total = 0 THEN 0.0
+                               ELSE round(s2.dup / s2.total, 6) END) <= 0.12
+                    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        FROM g
+        JOIN s2 ON s2.doc_id = g.doc_id
+        JOIN s3 ON s3.doc_id = g.doc_id
+    """
 
 
 def _md5h_sql(expr: str) -> str:
@@ -2191,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
               {quality} AS quality
             FROM h
         """,
+        "repetition_signals": _repetition_signals_oracle_sql(),
         "ngram_jaccard": f"""
             WITH g AS (
               SELECT doc_id, list_distinct({grams}) AS g FROM (

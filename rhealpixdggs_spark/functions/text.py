@@ -113,6 +113,51 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
 
 
+def ngram_repetition(text: Column, n: int = 2) -> Column:
+    """Gopher-style repetition-quality signals over word n-grams,
+    returned as one struct (Rae et al. 2021, "Scaling Language Models",
+    table A1 repetition filters):
+
+    - ``top_frac``: characters covered by the single most-repeated
+      n-gram (occurrences x gram length) over total n-gram characters.
+    - ``dup_frac``: characters covered by all n-grams that occur more
+      than once, over total n-gram characters.
+
+    The maximum is taken over coverage (cnt*len), so no lexical
+    tie-break is needed and the result is partition-order independent.
+    Pure higher-order JVM expressions: per document O(distinct x grams)
+    comparisons bounded by document length — no shuffle, no Python."""
+    grams = word_ngrams(text, n)
+    cover = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.struct(
+            F.size(F.filter(grams, lambda x: x == g)).cast("long").alias("cnt"),
+            F.length(g).cast("long").alias("len"),
+        ),
+    )
+    total = F.aggregate(
+        grams, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    top = F.array_max(F.transform(cover, lambda s: s["cnt"] * s["len"]))
+    dup = F.aggregate(
+        cover,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(s["cnt"] > 1, s["cnt"] * s["len"]).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+    def frac(num: Column) -> Column:
+        return F.when(total == 0, F.lit(0.0)).otherwise(
+            F.round(num / total, 6) + F.lit(0.0)
+        )
+
+    return F.struct(
+        frac(top).alias("top_frac"), frac(dup).alias("dup_frac")
+    )
+
+
 def token_spans(text: Column, width: int) -> Column:
     """All width-token sliding spans of a document (stride 1), space-
     joined, lowercase. Unlike word_ngrams there is no short-document

@@ -220,6 +220,30 @@ class TestDedupText:
         assert got.fp.tolist() == exp_fp.tolist()
         assert got.q.between(0, 1).all()
 
+    def test_ngram_repetition_hand_values(self, spark):
+        from rhealpixdggs_spark.functions.text import ngram_repetition
+
+        rows = [
+            # 2-grams: "a b" x2, "b a", "b c" -> top 6/12, dup 6/12
+            # 3-grams: three distinct len-5 grams -> top 5/15, dup 0
+            (1, "a b a b c"),
+            (2, "x"),  # short-doc collapse: one gram covering all chars
+            (3, ""),  # no gram characters at all -> both fractions 0
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id",
+                ngram_repetition(F.col("text"), 2).alias("r2"),
+                ngram_repetition(F.col("text"), 3).alias("r3"),
+            ).collect()
+        }
+        assert got[1].r2.top_frac == 0.5 and got[1].r2.dup_frac == 0.5
+        assert got[1].r3.top_frac == 0.333333 and got[1].r3.dup_frac == 0.0
+        assert got[2].r2.top_frac == 1.0 and got[2].r2.dup_frac == 0.0
+        assert got[3].r2.top_frac == 0.0 and got[3].r2.dup_frac == 0.0
+
     def test_duplicated_spans(self, spark):
         from rhealpixdggs_spark.operators.dedup import duplicated_spans
 
