@@ -889,6 +889,21 @@ def _q_source_rollup(spark, sf_dir):
     return source_rollup(_t(spark, sf_dir, "documents"))
 
 
+def _q_corpus_sample(spark, sf_dir):
+    """Deterministic data-mixing sample: per-lang keep rates applied
+    as a pure map-side hash filter (no shuffle; md5-portable hash so
+    the oracle re-computes identical survivors)."""
+    from rhealpixdggs_spark.operators.corpus import stratified_sample
+
+    rates = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1}
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates,
+        default_rate=0.05,
+        hash_fn="md5",
+    ).select("doc_id", "lang")
+
+
 def _emb_with_near_dups(spark, sf_dir):
     """embeddings plus planted scaled copies (x2, same direction ->
     cosine 1.0) for near-dup recall."""
@@ -1525,14 +1540,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round-2 oracles (kring_interior, streaming_geo_counts,
     lsh_cosine_topk), the new end-to-end zone_assign, AND the three
     round-3 oracles (cell_geometry, neighbors, linetrace) plus the
-    late-round span_dedup, source_rollup and repetition_signals —
-    rotating OUT twelve queries hash-green in prior rounds (knn_brute,
-    cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
-    knn_rings, hierarchy_ops, containment_packed, interval_scan, and —
-    to make room for the asof_attribution/ivf_topk/repetition_signals
-    oracles — cell_nucleus, cell_xy_range and revenue_by_nation, all
-    hash-green in r01+r02), so after this round EVERY oracle-backed
-    query has driver-green evidence on record. The tail
+    late-round span_dedup, source_rollup, repetition_signals and
+    corpus_sample — rotating OUT thirteen queries hash-green in prior
+    rounds (knn_brute, cell_metrics, topk_cells, tpch_returned_items,
+    encode_cells_res5, knn_rings, hierarchy_ops, containment_packed,
+    interval_scan, and — to make room for the asof_attribution /
+    ivf_topk / repetition_signals / corpus_sample oracles —
+    cell_nucleus, cell_xy_range, revenue_by_nation and
+    tpch_shipping_priority, all driver-green in r02), so after this
+    round EVERY oracle-backed query has driver-green evidence on
+    record. The tail
     (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
@@ -1581,7 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": _q_lang_quality,
         "tpch_pricing": _q_tpch_pricing,
         "repetition_signals": _q_repetition_signals,
-        "tpch_shipping_priority": _q_tpch_shipping_priority,
+        "corpus_sample": _q_corpus_sample,
         "streaming_window": _q_streaming_window,
         "streaming_dedup": _q_streaming_dedup,
         "sessionize": _q_sessionize,
@@ -1595,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
+        "tpch_shipping_priority": _q_tpch_shipping_priority,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -2270,6 +2288,17 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "repetition_signals": _repetition_signals_oracle_sql(),
+        "corpus_sample": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                {_md5h_sql("'sample|' || CAST(doc_id AS VARCHAR)")}
+                  % 1000000 AS bucket,
+                CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
+                          WHEN 'fr' THEN 250000 WHEN 'es' THEN 100000
+                          ELSE 50000 END AS thr
+              FROM documents)
+            WHERE bucket < thr
+        """,
         "ngram_jaccard": f"""
             WITH g AS (
               SELECT doc_id, list_distinct({grams}) AS g FROM (

@@ -15,11 +15,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, token_count
+from .dedup import _hash64
 
 # quality_score is rounded to 6 decimals; scaling by 1e6 and rounding
 # to a long makes per-document quality an exact integer, so the
 # cross-partition sum (and therefore the mean) is order-independent.
 _Q_SCALE = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    hash_fn: str = "xxhash64",
+    salt: str = "sample",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling by key hash — the
+    data-mixing step of a training-corpus pipeline (e.g. keep 80% of
+    en, 10% of boilerplate-heavy strata). A row survives iff
+    ``hash(salt|key) mod denom < round(rate*denom)``, so the sample is
+    reproducible under any partitioning, stable across reruns and
+    cluster sizes, and needs NO shuffle — a pure map-side filter with
+    full predicate fusion even at 1e12 rows. Rates are converted to
+    integer thresholds driver-side, so neither engine does a
+    float-to-int cast at compare time. ``hash_fn='md5'`` selects the
+    ANSI-portable hash the DuckDB oracle re-computes value-for-value;
+    xxhash64 stays the scale default."""
+    thresholds = {k: int(round(v * denom)) for k, v in rates.items()}
+    default_thr = F.lit(int(round(default_rate * denom)))
+    if thresholds:
+        mapping = F.create_map(
+            *[x for k, v in thresholds.items() for x in (F.lit(k), F.lit(v))]
+        )
+        thr = F.coalesce(mapping[F.col(strata_col)], default_thr)
+    else:
+        thr = default_thr
+    h = _hash64(
+        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")), hash_fn
+    )
+    return df.where(F.pmod(h, F.lit(denom)) < thr)
 
 
 def source_rollup(

@@ -220,6 +220,30 @@ class TestDedupText:
         assert got.fp.tolist() == exp_fp.tolist()
         assert got.q.between(0, 1).all()
 
+    def test_stratified_sample(self, spark, sf_dir):
+        from rhealpixdggs_spark.operators.corpus import stratified_sample
+
+        docs = self._docs(spark, sf_dir)
+        rates = {"en": 0.5, "de": 0.2}
+        s1 = stratified_sample(docs, rates, default_rate=0.1)
+        ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+        ids2 = sorted(
+            r.doc_id
+            for r in stratified_sample(docs, rates, default_rate=0.1)
+            .select("doc_id")
+            .collect()
+        )
+        assert ids1 == ids2  # deterministic under re-execution
+        n = docs.count()
+        assert 0 < len(ids1) < n
+        # rate-0 stratum drops everything; rate-1 keeps everything
+        none = stratified_sample(docs, {}, default_rate=0.0).count()
+        allr = stratified_sample(docs, {}, default_rate=1.0).count()
+        assert none == 0 and allr == n
+        # pure map-side filter: no shuffle in the physical plan
+        plan = s1._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
     def test_ngram_repetition_hand_values(self, spark):
         from rhealpixdggs_spark.functions.text import ngram_repetition
 
