@@ -904,6 +904,47 @@ def _q_corpus_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """Flagship training-data curation composite — ONE Spark plan
+    chaining quality filter -> repetition filter -> exact dedup ->
+    stratified sample -> per-lang rollup over the dup-planted corpus.
+    Scale shape: both filters and the sample are map-side (they fuse
+    into the scan before any exchange); the only shuffles are the
+    dedup hash-partition on md5(text) and the final tiny lang
+    aggregation. Every stage is individually oracle-backed; this query
+    value-checks their composition."""
+    from rhealpixdggs_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    extra = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    inp = docs.unionByName(extra)
+    r2 = ngram_repetition(F.col("text"), 2)
+    filtered = (
+        inp.withColumn("top2", r2["top_frac"])
+        .withColumn("dup2", r2["dup_frac"])
+        .where((F.col("top2") <= 0.08) & (F.col("dup2") <= 0.12))
+        .where(quality_score(F.col("text")) >= 0.5)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sampled = stratified_sample(
+        deduped,
+        {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1},
+        default_rate=0.05,
+        hash_fn="md5",
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+
+
 def _emb_with_near_dups(spark, sf_dir):
     """embeddings plus planted scaled copies (x2, same direction ->
     cosine 1.0) for near-dup recall."""
@@ -1540,16 +1581,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round-2 oracles (kring_interior, streaming_geo_counts,
     lsh_cosine_topk), the new end-to-end zone_assign, AND the three
     round-3 oracles (cell_geometry, neighbors, linetrace) plus the
-    late-round span_dedup, source_rollup, repetition_signals and
-    corpus_sample — rotating OUT thirteen queries hash-green in prior
-    rounds (knn_brute, cell_metrics, topk_cells, tpch_returned_items,
-    encode_cells_res5, knn_rings, hierarchy_ops, containment_packed,
-    interval_scan, and — to make room for the asof_attribution /
-    ivf_topk / repetition_signals / corpus_sample oracles —
-    cell_nucleus, cell_xy_range, revenue_by_nation and
-    tpch_shipping_priority, all driver-green in r02), so after this
-    round EVERY oracle-backed query has driver-green evidence on
-    record. The tail
+    late-round span_dedup, source_rollup, repetition_signals,
+    corpus_sample and curation_pipeline — rotating OUT fourteen
+    queries hash-green in prior rounds (knn_brute, cell_metrics,
+    topk_cells, tpch_returned_items, encode_cells_res5, knn_rings,
+    hierarchy_ops, containment_packed, interval_scan, and — to make
+    room for the asof_attribution / ivf_topk / repetition_signals /
+    corpus_sample / curation_pipeline oracles — cell_nucleus,
+    cell_xy_range, revenue_by_nation, tpch_shipping_priority and
+    value_quantiles, all driver-green in r02), so after this round
+    EVERY oracle-backed query has driver-green evidence on record. The tail
     (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
@@ -1602,7 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": _q_streaming_window,
         "streaming_dedup": _q_streaming_dedup,
         "sessionize": _q_sessionize,
-        "value_quantiles": _q_value_quantiles,
+        "curation_pipeline": _q_curation_pipeline,
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
@@ -1613,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
+        "value_quantiles": _q_value_quantiles,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1673,10 +1715,14 @@ def _grams_sql(n: int) -> str:
     )
 
 
-def _repetition_signals_oracle_sql() -> str:
+def _repetition_signals_oracle_sql(
+    src: str = "SELECT * FROM documents",
+) -> str:
     """Twin of _q_repetition_signals: per-doc gram frequency via
     unnest+GROUP BY, coverage = occurrences x gram length; BIGINT casts
-    kill DuckDB's HUGEINT sum widening before the double division."""
+    kill DuckDB's HUGEINT sum widening before the double division.
+    ``src`` lets composites (curation_pipeline) run the same signals
+    over a derived doc set."""
     stats = """
         SELECT doc_id, CAST(max(cnt * len) AS BIGINT) AS top,
                CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END)
@@ -1699,7 +1745,7 @@ def _repetition_signals_oracle_sql() -> str:
         WITH t AS (
           SELECT doc_id, {_TOKENIZE_LOWER} AS toks,
                  len({_TOKENIZE_LOWER}) AS cnt
-          FROM documents),
+          FROM ({src})),
         g AS (SELECT doc_id, {_grams_sql(2)} AS g2, {_grams_sql(3)} AS g3
               FROM t),
         s2 AS ({stats.format(col="g2")}),
@@ -1715,6 +1761,44 @@ def _repetition_signals_oracle_sql() -> str:
         FROM g
         JOIN s2 ON s2.doc_id = g.doc_id
         JOIN s3 ON s3.doc_id = g.doc_id
+    """
+
+
+def _curation_pipeline_oracle_sql(ntok: str, quality: str) -> str:
+    """Twin of _q_curation_pipeline: same dup-planted input, same
+    stage order (quality+repetition filters -> min-doc_id exact dedup
+    -> per-lang hash sample -> lang rollup), each stage re-derived in
+    ANSI SQL from the already-oracled fragments."""
+    inp = (
+        "SELECT doc_id, text, lang FROM documents "
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, text, lang "
+        "FROM documents WHERE doc_id % 5 = 0"
+    )
+    return f"""
+        WITH rep AS ({_repetition_signals_oracle_sql(inp)}),
+        base AS ({inp}),
+        q AS (SELECT base.doc_id, base.lang, base.text,
+                     {ntok} AS ntok, {quality} AS q
+              FROM base),
+        f AS (SELECT q.doc_id, q.lang, q.text, q.ntok FROM q
+              JOIN rep ON rep.doc_id = q.doc_id
+              WHERE rep.keep = 1 AND q.q >= 0.5),
+        d AS (SELECT doc_id, lang, ntok,
+                row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+              FROM f),
+        s AS (SELECT doc_id, lang, ntok FROM d
+              WHERE rn = 1
+                AND {_md5h_sql("'sample|' || CAST(doc_id AS VARCHAR)")}
+                    % 1000000
+                    < CASE lang WHEN 'en' THEN 800000
+                                WHEN 'de' THEN 500000
+                                WHEN 'fr' THEN 250000
+                                WHEN 'es' THEN 100000
+                                ELSE 50000 END)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens
+        FROM s GROUP BY lang
     """
 
 
@@ -2299,6 +2383,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE bucket < thr
         """,
+        "curation_pipeline": _curation_pipeline_oracle_sql(ntok, quality),
         "ngram_jaccard": f"""
             WITH g AS (
               SELECT doc_id, list_distinct({grams}) AS g FROM (

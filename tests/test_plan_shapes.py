@@ -336,3 +336,21 @@ class TestBucketedJoins:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_bucket_a")
             spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+class TestCurationPipeline:
+    def test_curation_pipeline_plan_shape(self, spark, sf_dir):
+        """The flagship curation composite plans as: map-fused
+        quality/repetition filters -> ONE md5 dedup exchange with
+        map-side WindowGroupLimit (top-1 per text computed before the
+        shuffle) -> map-side sample filter -> ONE lang-agg exchange.
+        No Python anywhere."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["curation_pipeline"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 2
+        assert "EvalPython" not in plan
+        # dedup's row_number()=1 is pushed map-side: partial group
+        # limit below the exchange, final above it
+        assert plan.count("WindowGroupLimit") == 2
