@@ -945,6 +945,35 @@ def _q_curation_pipeline(spark, sf_dir):
     )
 
 
+def _q_pii_redaction(spark, sf_dir):
+    """C4-style PII scrub with planted synthetic PII (the corpus
+    itself is PII-free): per-doc email/phone/IPv4 planted from doc_id,
+    then counted and redacted. Output = redacted-text fingerprint +
+    per-type counts, so the oracle verifies both the rewrite and the
+    audit metric. Pure JVM regexp chain — map-only at any scale."""
+    from rhealpixdggs_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1 555 00"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" from 192.168.0.1")).otherwise(
+            F.lit("")
+        ),
+    )
+    c = pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        F.md5(redact_pii(planted)).alias("redacted_fp"),
+        c["n_email"].alias("n_email"),
+        c["n_phone"].alias("n_phone"),
+        c["n_ipv4"].alias("n_ipv4"),
+    )
+
+
 def _emb_with_near_dups(spark, sf_dir):
     """embeddings plus planted scaled copies (x2, same direction ->
     cosine 1.0) for near-dup recall."""
@@ -1582,15 +1611,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_cosine_topk), the new end-to-end zone_assign, AND the three
     round-3 oracles (cell_geometry, neighbors, linetrace) plus the
     late-round span_dedup, source_rollup, repetition_signals,
-    corpus_sample and curation_pipeline — rotating OUT fourteen
-    queries hash-green in prior rounds (knn_brute, cell_metrics,
-    topk_cells, tpch_returned_items, encode_cells_res5, knn_rings,
-    hierarchy_ops, containment_packed, interval_scan, and — to make
-    room for the asof_attribution / ivf_topk / repetition_signals /
-    corpus_sample / curation_pipeline oracles — cell_nucleus,
-    cell_xy_range, revenue_by_nation, tpch_shipping_priority and
-    value_quantiles, all driver-green in r02), so after this round
-    EVERY oracle-backed query has driver-green evidence on record. The tail
+    corpus_sample, curation_pipeline and pii_redaction — rotating OUT
+    fifteen queries hash-green in prior rounds (knn_brute,
+    cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
+    knn_rings, hierarchy_ops, containment_packed, interval_scan, and —
+    to make room for the six new round-3 oracles — cell_nucleus,
+    cell_xy_range, revenue_by_nation, tpch_shipping_priority,
+    value_quantiles and sessionize, all driver-green in r02), so after
+    this round EVERY oracle-backed query has driver-green evidence on
+    record. The tail
     (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
@@ -1642,7 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "streaming_window": _q_streaming_window,
         "streaming_dedup": _q_streaming_dedup,
-        "sessionize": _q_sessionize,
+        "pii_redaction": _q_pii_redaction,
         "curation_pipeline": _q_curation_pipeline,
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
@@ -1655,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
         "value_quantiles": _q_value_quantiles,
+        "sessionize": _q_sessionize,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -1799,6 +1829,41 @@ def _curation_pipeline_oracle_sql(ntok: str, quality: str) -> str:
         SELECT lang, count(*) AS n_docs,
                CAST(sum(ntok) AS BIGINT) AS total_tokens
         FROM s GROUP BY lang
+    """
+
+
+def _pii_redaction_oracle_sql() -> str:
+    """Twin of _q_pii_redaction: same planted PII, same sequential
+    scrub order (email -> phone -> ipv4), counts via
+    regexp_extract_all on the not-yet-scrubbed stage. Patterns live in
+    functions/text.PII_PATTERNS and are restricted to the Java/RE2
+    common subset so both engines match identically; DuckDB needs the
+    explicit 'g' flag to match Spark's global regexp_replace."""
+    from rhealpixdggs_spark.functions.text import PII_PATTERNS
+
+    pats = {name: (pat, repl) for name, pat, repl in PII_PATTERNS}
+    em, emr = pats["email"]
+    ph, phr = pats["phone"]
+    ip, ipr = pats["ipv4"]
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call +1 555 00'
+              || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0 THEN ' from 192.168.0.1'
+                      ELSE '' END AS t0
+          FROM documents),
+        s1 AS (SELECT doc_id, t0,
+                 regexp_replace(t0, '{em}', '{emr}', 'g') AS t1 FROM p),
+        s2 AS (SELECT doc_id, t0, t1,
+                 regexp_replace(t1, '{ph}', '{phr}', 'g') AS t2 FROM s1)
+        SELECT doc_id,
+          md5(regexp_replace(t2, '{ip}', '{ipr}', 'g')) AS redacted_fp,
+          len(regexp_extract_all(t0, '{em}')) AS n_email,
+          len(regexp_extract_all(t1, '{ph}')) AS n_phone,
+          len(regexp_extract_all(t2, '{ip}')) AS n_ipv4
+        FROM s2
     """
 
 
@@ -2384,6 +2449,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bucket < thr
         """,
         "curation_pipeline": _curation_pipeline_oracle_sql(ntok, quality),
+        "pii_redaction": _pii_redaction_oracle_sql(),
         "ngram_jaccard": f"""
             WITH g AS (
               SELECT doc_id, list_distinct({grams}) AS g FROM (

@@ -113,6 +113,45 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
 
 
+# PII scrub patterns (C4-style). Written to the common subset of Java
+# regex (Spark) and RE2 (DuckDB oracle): character classes + bounded
+# quantifiers only, no lookaround, so both engines match identically.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, phone-like digit runs, and IPv4 literals with
+    typed placeholder tokens — the standard scrub step before a web
+    corpus becomes training data. Pure JVM regexp_replace chain (one
+    codegen stage, no Python); emails are rewritten first so their
+    digits can't be re-matched as phone numbers."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-type PII match counts in the original text
+    (n_email, n_phone, n_ipv4) — the audit metric a scrub job logs
+    per partition. Counted on the raw text, sequentially-scrubbed the
+    same way redact_pii rewrites, so counts and redaction agree."""
+    fields = []
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        fields.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return F.struct(*fields)
+
+
 def ngram_repetition(text: Column, n: int = 2) -> Column:
     """Gopher-style repetition-quality signals over word n-grams,
     returned as one struct (Rae et al. 2021, "Scaling Language Models",

@@ -244,6 +244,29 @@ class TestDedupText:
         plan = s1._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_redact_pii(self, spark):
+        from rhealpixdggs_spark.functions.text import pii_counts, redact_pii
+
+        rows = [
+            (1, "mail a.b-c@x-corp.io now or ring +44 (0)20 7946-0958 ok"),
+            (2, "server at 10.0.255.3 port 80"),
+            (3, "no pii here at all"),
+        ]
+        df = spark.createDataFrame(rows, ["i", "text"])
+        got = {
+            r.i: r
+            for r in df.select(
+                "i",
+                redact_pii(F.col("text")).alias("red"),
+                pii_counts(F.col("text")).alias("c"),
+            ).collect()
+        }
+        assert got[1].red == "mail <EMAIL> now or ring <PHONE> ok"
+        assert got[1].c.n_email == 1 and got[1].c.n_phone == 1
+        assert got[2].red == "server at <IP> port 80"
+        assert got[2].c.n_ipv4 == 1 and got[2].c.n_phone == 0
+        assert got[3].red == rows[2][1]
+
     def test_ngram_repetition_hand_values(self, spark):
         from rhealpixdggs_spark.functions.text import ngram_repetition
 
