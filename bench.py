@@ -166,6 +166,7 @@ def run_headline(spark, sf_dir: str) -> dict:
         "revenue_by_nation",
         "raster_to_vector",
         "polyfill_fleet",
+        "curation_pipeline",
     ]:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []

@@ -164,37 +164,56 @@ def ngram_repetition(text: Column, n: int = 2) -> Column:
 
     The maximum is taken over coverage (cnt*len), so no lexical
     tie-break is needed and the result is partition-order independent.
-    Pure higher-order JVM expressions: per document O(distinct x grams)
-    comparisons bounded by document length — no shuffle, no Python."""
-    grams = word_ngrams(text, n)
-    cover = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.struct(
-            F.size(F.filter(grams, lambda x: x == g)).cast("long").alias("cnt"),
-            F.length(g).cast("long").alias("len"),
-        ),
-    )
-    total = F.aggregate(
-        grams, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    top = F.array_max(F.transform(cover, lambda s: s["cnt"] * s["len"]))
-    dup = F.aggregate(
-        cover,
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.when(s["cnt"] > 1, s["cnt"] * s["len"]).otherwise(
-            F.lit(0).cast("long")
-        ),
+    Pure JVM expressions — no shuffle, no Python. Implementation is a
+    SINGLE run-length aggregate over the sorted gram array: Spark
+    evaluates higher-order lambdas interpreted with no common-subtree
+    caching, so the naive transform(distinct, g -> filter(grams, ...))
+    shape re-evaluates the whole n-gram chain once per distinct gram
+    (~50x slower, measured); one sort + one linear scan avoids that."""
+    grams = F.array_sort(word_ngrams(text, n))
+    zero_l = F.lit(0).cast("long")
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        zero_l.alias("cnt"),
+        zero_l.alias("top"),
+        zero_l.alias("dup"),
+        zero_l.alias("total"),
     )
 
-    def frac(num: Column) -> Column:
-        return F.when(total == 0, F.lit(0.0)).otherwise(
-            F.round(num / total, 6) + F.lit(0.0)
+    def _flushed(acc):
+        """top/dup with the currently-open run folded in."""
+        cover = acc["cnt"] * F.length(acc["prev"]).cast("long")
+        top = F.greatest(acc["top"], cover)
+        dup = acc["dup"] + F.when(acc["cnt"] > 1, cover).otherwise(zero_l)
+        return top, dup
+
+    def merge(acc, x):
+        cont = (acc["cnt"] > 0) & (acc["prev"] == x)
+        top, dup = _flushed(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(cont, acc["cnt"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cnt"),
+            F.when(cont, acc["top"]).otherwise(top).alias("top"),
+            F.when(cont, acc["dup"]).otherwise(dup).alias("dup"),
+            (acc["total"] + F.length(x)).cast("long").alias("total"),
         )
 
-    return F.struct(
-        frac(top).alias("top_frac"), frac(dup).alias("dup_frac")
-    )
+    def finish(acc):
+        top, dup = _flushed(acc)
+        total = acc["total"]
+
+        def frac(num: Column) -> Column:
+            return F.when(total == 0, F.lit(0.0)).otherwise(
+                F.round(num / total, 6) + F.lit(0.0)
+            )
+
+        return F.struct(
+            frac(top).alias("top_frac"), frac(dup).alias("dup_frac")
+        )
+
+    return F.aggregate(grams, zero, merge, finish)
 
 
 def token_spans(text: Column, width: int) -> Column:

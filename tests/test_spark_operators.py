@@ -243,6 +243,22 @@ class TestDedupText:
         # pure map-side filter: no shuffle in the physical plan
         plan = s1._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+        # nested-sample property: raising a stratum's rate only ADDS
+        # rows (hash-threshold sampling), so samples are reusable
+        # across mixing-weight sweeps
+        small = {
+            r.doc_id
+            for r in stratified_sample(docs, {"en": 0.2}, default_rate=0.05)
+            .select("doc_id")
+            .collect()
+        }
+        big = {
+            r.doc_id
+            for r in stratified_sample(docs, {"en": 0.6}, default_rate=0.3)
+            .select("doc_id")
+            .collect()
+        }
+        assert small <= big
 
     def test_redact_pii(self, spark):
         from rhealpixdggs_spark.functions.text import pii_counts, redact_pii
