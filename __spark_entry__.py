@@ -1001,6 +1001,34 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Connected components over the dedup candidate graph: LSH pairs
+    on the dup-planted corpus plus a deterministic 10-vertex chain
+    (doc 0-10-...-90) so label propagation is exercised beyond
+    diameter-1 dup pairs. Oracle = DuckDB recursive-CTE reachability
+    closure with min-id per component."""
+    from rhealpixdggs_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    pairs = minhash_lsh_candidates(
+        _docs_with_dups(spark, sf_dir), num_hashes=16, bands=8, hash_fn="md5"
+    ).select("id_a", "id_b")
+    chain = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 90))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 10).alias("id_b"),
+        )
+    )
+    cc = connected_components(pairs.unionByName(chain))
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from rhealpixdggs_spark.operators.dedup import simhash_near_pairs
 
@@ -1611,15 +1639,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_cosine_topk), the new end-to-end zone_assign, AND the three
     round-3 oracles (cell_geometry, neighbors, linetrace) plus the
     late-round span_dedup, source_rollup, repetition_signals,
-    corpus_sample, curation_pipeline and pii_redaction — rotating OUT
-    fifteen queries hash-green in prior rounds (knn_brute,
-    cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
-    knn_rings, hierarchy_ops, containment_packed, interval_scan, and —
-    to make room for the six new round-3 oracles — cell_nucleus,
-    cell_xy_range, revenue_by_nation, tpch_shipping_priority,
-    value_quantiles and sessionize, all driver-green in r02), so after
-    this round EVERY oracle-backed query has driver-green evidence on
-    record. The tail
+    corpus_sample, curation_pipeline, pii_redaction and
+    dedup_components — rotating OUT sixteen queries hash-green in
+    prior rounds (knn_brute, cell_metrics, topk_cells,
+    tpch_returned_items, encode_cells_res5, knn_rings, hierarchy_ops,
+    containment_packed, interval_scan, and — to make room for the
+    seven new round-3 oracles — cell_nucleus, cell_xy_range,
+    revenue_by_nation, tpch_shipping_priority, value_quantiles,
+    sessionize and streaming_window, all driver-green in r02), so
+    after this round EVERY oracle-backed query has driver-green
+    evidence on record. The tail
     (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
@@ -1669,7 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": _q_tpch_pricing,
         "repetition_signals": _q_repetition_signals,
         "corpus_sample": _q_corpus_sample,
-        "streaming_window": _q_streaming_window,
+        "dedup_components": _q_dedup_components,
         "streaming_dedup": _q_streaming_dedup,
         "pii_redaction": _q_pii_redaction,
         "curation_pipeline": _q_curation_pipeline,
@@ -1685,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipping_priority": _q_tpch_shipping_priority,
         "value_quantiles": _q_value_quantiles,
         "sessionize": _q_sessionize,
+        "streaming_window": _q_streaming_window,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -2703,6 +2733,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_sql("SELECT doc_id, text FROM documents", 32),
         "minhash_lsh_pairs": _minhash_lsh_pairs_sql(num_hashes=16, bands=8),
+        "dedup_components": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT id_a, id_b
+              FROM ({_minhash_lsh_pairs_sql(num_hashes=16, bands=8)})
+              UNION
+              SELECT doc_id AS id_a, doc_id + 10 AS id_b FROM documents
+              WHERE doc_id % 10 = 0 AND doc_id < 90
+            ),
+            edges AS MATERIALIZED (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.src AS id, rr.r FROM edges e
+              JOIN reach rr ON rr.id = e.dst
+            )
+            SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        """,
         "simhash_pairs": _simhash_pairs_sql(bits=32, blocks=4, max_hamming=3),
         "streaming_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -350,3 +350,61 @@ def duplicated_spans(
             F.md5("span").alias("span_fp"), "span", "n_docs", "n_occ", "doc_ids"
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Connected components over the candidate-pair graph — the step
+    that turns LSH/simhash pair lists into dedup clusters so a
+    pipeline can keep ONE document per component.
+
+    Iterative min-label propagation: every vertex starts labeled with
+    its own id; each round every vertex takes the minimum of its own
+    and its neighbors' labels; fixpoint = each vertex holds the
+    minimum id reachable in its component. Converges in O(graph
+    diameter) rounds — near-dup clusters are dense (diameter 2-4), so
+    a handful of rounds suffice even at 1e12 documents. Each round is
+    one equi-join on the destination id plus one min-aggregation, both
+    shuffling on the vertex id; ``localCheckpoint`` every few rounds
+    bounds plan lineage exactly like the adaptive kNN loop (see
+    joins.knn_join_rings_adaptive for the executor-loss trade-off and
+    the reliable-checkpoint alternative).
+
+    Returns (id, component); vertices appear iff they occur in a pair
+    (singleton documents are their own implicit component).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(max_iter):
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            edges["src"].alias("id"), "label"
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

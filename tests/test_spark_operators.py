@@ -260,6 +260,21 @@ class TestDedupText:
         }
         assert small <= big
 
+    def test_connected_components(self, spark):
+        from rhealpixdggs_spark.operators.dedup import connected_components
+
+        # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r.id: r.label for r in connected_components(df, max_iter=10).collect()
+        }
+        assert got == {
+            1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20,
+        }
+
     def test_redact_pii(self, spark):
         from rhealpixdggs_spark.functions.text import pii_counts, redact_pii
 
