@@ -275,6 +275,41 @@ class TestDedupText:
             20: 20, 21: 20,
         }
 
+    def test_connected_components_vs_union_find(self, spark):
+        """150 seeded random edges over 80 vertices vs a pure-Python
+        union-find — exercises multi-hop merges and isolated pairs."""
+        import random
+
+        from rhealpixdggs_spark.operators.dedup import connected_components
+
+        rnd = random.Random(7)
+        edges = [
+            (rnd.randrange(80), rnd.randrange(80)) for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(80))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # expected label = min vertex id in each component
+        comp_min: dict[int, int] = {}
+        verts = {v for e in edges for v in e}
+        for v in verts:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {v: comp_min[find(v)] for v in verts}
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r.id: r.label for r in connected_components(df).collect()}
+        assert got == expected
+
     def test_redact_pii(self, spark):
         from rhealpixdggs_spark.functions.text import pii_counts, redact_pii
 
