@@ -1029,6 +1029,31 @@ def _q_dedup_components(spark, sf_dir):
     )
 
 
+def _q_near_dedup_keep(spark, sf_dir):
+    """End-to-end near-dup REMOVAL: LSH pairs -> connected components
+    -> drop non-canonical members -> per-lang survivor counts. The
+    step that actually shrinks the corpus; composes the component
+    labeling with a single left_anti pass."""
+    from rhealpixdggs_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_dedup_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    extra = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    inp = docs.unionByName(extra)
+    pairs = minhash_lsh_candidates(
+        inp.select("doc_id", "text"), num_hashes=16, bands=8, hash_fn="md5"
+    ).select("id_a", "id_b")
+    kept = near_dedup_filter(inp, pairs)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from rhealpixdggs_spark.operators.dedup import simhash_near_pairs
 
@@ -1639,16 +1664,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_cosine_topk), the new end-to-end zone_assign, AND the three
     round-3 oracles (cell_geometry, neighbors, linetrace) plus the
     late-round span_dedup, source_rollup, repetition_signals,
-    corpus_sample, curation_pipeline, pii_redaction and
-    dedup_components — rotating OUT sixteen queries hash-green in
+    corpus_sample, curation_pipeline, pii_redaction, dedup_components
+    and near_dedup_keep — rotating OUT seventeen queries hash-green in
     prior rounds (knn_brute, cell_metrics, topk_cells,
     tpch_returned_items, encode_cells_res5, knn_rings, hierarchy_ops,
     containment_packed, interval_scan, and — to make room for the
-    seven new round-3 oracles — cell_nucleus, cell_xy_range,
+    eight new round-3 oracles — cell_nucleus, cell_xy_range,
     revenue_by_nation, tpch_shipping_priority, value_quantiles,
-    sessionize and streaming_window, all driver-green in r02), so
-    after this round EVERY oracle-backed query has driver-green
-    evidence on record. The tail
+    sessionize, streaming_window and frame_sample, all driver-green in
+    r02), so after this round EVERY oracle-backed query has
+    driver-green evidence on record. The tail
     (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
@@ -1703,7 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "curation_pipeline": _q_curation_pipeline,
         "multimodal_features": _q_multimodal_features,
-        "frame_sample": _q_frame_sample,
+        "near_dedup_keep": _q_near_dedup_keep,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (r01: doc_fingerprint..events_window; r01+r02:
         # knn_brute..interval_scan rotated out this round to make room
@@ -1715,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": _q_value_quantiles,
         "sessionize": _q_sessionize,
         "streaming_window": _q_streaming_window,
+        "frame_sample": _q_frame_sample,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -2754,6 +2780,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
             FROM reach GROUP BY id
+        """,
+        "near_dedup_keep": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT id_a, id_b
+              FROM ({_minhash_lsh_pairs_sql(num_hashes=16, bands=8)})
+            ),
+            edges AS MATERIALIZED (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.src AS id, rr.r FROM edges e
+              JOIN reach rr ON rr.id = e.dst
+            ),
+            dropids AS (
+              SELECT id FROM (SELECT id, min(r) AS label FROM reach
+                              GROUP BY id)
+              WHERE id <> label
+            ),
+            inp AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text, lang
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            kept AS (
+              SELECT inp.lang, {ntok} AS ntok FROM inp
+              LEFT JOIN dropids d ON d.id = inp.doc_id
+              WHERE d.id IS NULL
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS total_tokens
+            FROM kept GROUP BY lang
         """,
         "simhash_pairs": _simhash_pairs_sql(bits=32, blocks=4, max_hamming=3),
         "streaming_window": """

@@ -408,3 +408,25 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def near_dedup_filter(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster's canonical
+    (minimum-id) document: connected components over the candidate
+    pairs, then a left_anti join of the corpus against the
+    non-canonical member ids. The anti join broadcasts when the drop
+    list is small (the common case: dup clusters are a few percent of
+    the corpus) and shuffles on id otherwise — either way the full
+    corpus passes through exactly once."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    drop = cc.where(F.col("id") != F.col("label")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
