@@ -346,7 +346,9 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring) -> np.ndarray:
         x1, y1 = ring[i]
         x2, y2 = ring[(i + 1) % n]
         crosses = (y1 > py) != (y2 > py)
-        with np.errstate(invalid="ignore", divide="ignore"):
+        # over=: near-horizontal edges can overflow the quotient; the
+        # result is masked by `crosses` so the value is never used
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
             xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
         inside ^= crosses & (px < xin)
     return inside

@@ -119,7 +119,9 @@ def _points_in_rings_batch(px, py, rings: np.ndarray) -> np.ndarray:
     x1, y1 = a0[:, :, 0][:, :, None], a0[:, :, 1][:, :, None]  # (N,4,1)
     x2, y2 = a1[:, :, 0][:, :, None], a1[:, :, 1][:, :, None]
     crosses = (y1 > py) != (y2 > py)  # (N,4,M)
-    with np.errstate(invalid="ignore", divide="ignore"):
+    # over=: near-horizontal edges can overflow the quotient; masked
+    # by `crosses` so the value is never used
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
         xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
     return np.bitwise_xor.reduce(crosses & (px < xin), axis=1)  # (N,M)
 
