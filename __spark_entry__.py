@@ -974,6 +974,24 @@ def _q_pii_redaction(spark, sf_dir):
     )
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Training-sample sharding: width-32/stride-24 token chunks per
+    document (pure map-side explode, no shuffle). Chunk text is
+    fingerprinted so the oracle verifies exact content without bulky
+    result rows."""
+    from rhealpixdggs_spark.operators.corpus import chunk_documents
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), width=32, stride=24
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_fp"),
+    )
+
+
 def _emb_with_near_dups(spark, sf_dir):
     """embeddings plus planted scaled copies (x2, same direction ->
     cosine 1.0) for near-dup recall."""
@@ -1663,17 +1681,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round-2 oracles (kring_interior, streaming_geo_counts,
     lsh_cosine_topk), the new end-to-end zone_assign, AND the three
     round-3 oracles (cell_geometry, neighbors, linetrace) plus the
-    late-round span_dedup, source_rollup, repetition_signals,
-    corpus_sample, curation_pipeline, pii_redaction, dedup_components
-    and near_dedup_keep — rotating OUT seventeen queries hash-green in
-    prior rounds (knn_brute, cell_metrics, topk_cells,
-    tpch_returned_items, encode_cells_res5, knn_rings, hierarchy_ops,
-    containment_packed, interval_scan, and — to make room for the
-    eight new round-3 oracles — cell_nucleus, cell_xy_range,
-    revenue_by_nation, tpch_shipping_priority, value_quantiles,
-    sessionize, streaming_window and frame_sample, all driver-green in
-    r02), so after this round EVERY oracle-backed query has
-    driver-green evidence on record. The tail
+    late-round corpus-curation family (span_dedup, source_rollup,
+    repetition_signals, corpus_sample, curation_pipeline,
+    pii_redaction, dedup_components, near_dedup_keep, doc_chunks) —
+    rotating OUT eighteen queries hash-green in prior rounds
+    (knn_brute, cell_metrics, topk_cells, tpch_returned_items,
+    encode_cells_res5, knn_rings, hierarchy_ops, containment_packed,
+    interval_scan, and — to make room for the nine new round-3
+    oracles — cell_nucleus, cell_xy_range, revenue_by_nation,
+    tpch_shipping_priority, value_quantiles, sessionize,
+    streaming_window, frame_sample and multimodal_features, all
+    driver-green in r02), so after this round EVERY oracle-backed
+    query has driver-green evidence on record. The tail
     (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
@@ -1727,7 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "pii_redaction": _q_pii_redaction,
         "curation_pipeline": _q_curation_pipeline,
-        "multimodal_features": _q_multimodal_features,
+        "doc_chunks": _q_doc_chunks,
         "near_dedup_keep": _q_near_dedup_keep,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (r01: doc_fingerprint..events_window; r01+r02:
@@ -1741,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "streaming_window": _q_streaming_window,
         "frame_sample": _q_frame_sample,
+        "multimodal_features": _q_multimodal_features,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -2506,6 +2526,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curation_pipeline": _curation_pipeline_oracle_sql(ntok, quality),
         "pii_redaction": _pii_redaction_oracle_sql(),
+        "doc_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENIZE} AS toks, {ntok} AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS start
+              FROM t WHERE n > 0)
+            SELECT doc_id,
+                   CAST(start / 24 AS BIGINT) AS chunk_id,
+                   least(32, n - start) AS n_tokens,
+                   md5(array_to_string(toks[start + 1 : start + 32], ' '))
+                     AS chunk_fp
+            FROM s
+        """,
         "ngram_jaccard": f"""
             WITH g AS (
               SELECT doc_id, list_distinct({grams}) AS g FROM (

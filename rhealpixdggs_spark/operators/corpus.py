@@ -59,6 +59,46 @@ def stratified_sample(
     return df.where(F.pmod(h, F.lit(denom)) < thr)
 
 
+def chunk_documents(
+    df: DataFrame,
+    width: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shard documents into fixed-width token chunks with overlap —
+    the step that turns a curated corpus into training samples.
+    Chunks start at token offsets 0, stride, 2*stride, ... while the
+    offset is inside the document; the final chunks may be shorter
+    than ``width``. Empty documents yield no chunks.
+
+    Scale shape: one generate/explode over a sequence column — a pure
+    map-side row expansion (no shuffle, no Python); the ~width/stride
+    output amplification is the intended training-sample overlap.
+    Returns (id, chunk_id, n_tokens, chunk_text).
+    """
+    if not (0 < stride <= width):
+        raise ValueError(f"need 0 < stride <= width, got {stride}/{width}")
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n = token_count(F.col(text_col))
+    starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(stride))
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n"), starts.alias("_s")
+    )
+    start = F.explode(F.col("_s")).alias("start")
+    exploded = base.select(id_col, "_toks", "_n", start)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.least(F.lit(width), F.col("_n") - F.col("start")).alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("start") + 1, width)
+        ).alias("chunk_text"),
+    )
+
+
 def source_rollup(
     df: DataFrame,
     source_col: str = "source",

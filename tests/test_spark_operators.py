@@ -260,6 +260,31 @@ class TestDedupText:
         }
         assert small <= big
 
+    def test_chunk_documents(self, spark):
+        from rhealpixdggs_spark.operators.corpus import chunk_documents
+
+        rows = [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks
+            (2, "a b"),  # shorter than width: one chunk
+            (3, ""),  # empty: no chunks
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = sorted(
+            (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+            for r in chunk_documents(df, width=4, stride=3).collect()
+        )
+        assert got == [
+            (1, 0, 4, "w0 w1 w2 w3"),
+            (1, 1, 4, "w3 w4 w5 w6"),
+            (1, 2, 4, "w6 w7 w8 w9"),
+            (1, 3, 1, "w9"),
+            (2, 0, 2, "a b"),
+        ]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            chunk_documents(df, width=4, stride=5)
+
     def test_connected_components(self, spark):
         from rhealpixdggs_spark.operators.dedup import connected_components
 
