@@ -354,3 +354,15 @@ class TestCurationPipeline:
         # dedup's row_number()=1 is pushed map-side: partial group
         # limit below the exchange, final above it
         assert plan.count("WindowGroupLimit") == 2
+
+    def test_map_only_curation_ops(self, spark, sf_dir):
+        """doc_chunks, pii_redaction and repetition_signals are pure
+        map stages: zero Exchange, zero Python in the physical plan —
+        at 1e12 pages they fuse into the scan."""
+        import __spark_entry__ as entry
+
+        for name in ["doc_chunks", "pii_redaction", "repetition_signals"]:
+            df = entry.queries()[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, name
+            assert "EvalPython" not in plan, name
