@@ -974,6 +974,26 @@ def _q_pii_redaction(spark, sf_dir):
     )
 
 
+def _q_decontamination(spark, sf_dir):
+    """Benchmark-leakage audit: eval set = every 7th document
+    truncated to its first 12 tokens — verbatim prefixes (doc_id%14=0,
+    contaminated by construction) alternating with token-reversed
+    prefixes (doc_id%14=7, clean unless reversal collides). Reports
+    per-eval-doc span-overlap fraction against the full train
+    corpus."""
+    from rhealpixdggs_spark.operators.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    toks12 = F.slice(F.split(F.trim(F.col("text")), "\\s+"), 1, 12)
+    etext = F.when(
+        F.col("doc_id") % 14 == 0, F.concat_ws(" ", toks12)
+    ).otherwise(F.concat_ws(" ", F.reverse(toks12)))
+    evals = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), etext.alias("text")
+    )
+    return contamination_report(docs, evals, width=8)
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Training-sample sharding: width-32/stride-24 token chunks per
     document (pure map-side explode, no shuffle). Chunk text is
@@ -1683,16 +1703,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-3 oracles (cell_geometry, neighbors, linetrace) plus the
     late-round corpus-curation family (span_dedup, source_rollup,
     repetition_signals, corpus_sample, curation_pipeline,
-    pii_redaction, dedup_components, near_dedup_keep, doc_chunks) —
-    rotating OUT eighteen queries hash-green in prior rounds
-    (knn_brute, cell_metrics, topk_cells, tpch_returned_items,
-    encode_cells_res5, knn_rings, hierarchy_ops, containment_packed,
-    interval_scan, and — to make room for the nine new round-3
-    oracles — cell_nucleus, cell_xy_range, revenue_by_nation,
-    tpch_shipping_priority, value_quantiles, sessionize,
-    streaming_window, frame_sample and multimodal_features, all
-    driver-green in r02), so after this round EVERY oracle-backed
-    query has driver-green evidence on record. The tail
+    pii_redaction, dedup_components, near_dedup_keep, doc_chunks,
+    decontamination) — rotating OUT nineteen queries hash-green in
+    prior rounds (knn_brute, cell_metrics, topk_cells,
+    tpch_returned_items, encode_cells_res5, knn_rings, hierarchy_ops,
+    containment_packed, interval_scan, and — to make room for the ten
+    new round-3 oracles — cell_nucleus, cell_xy_range,
+    revenue_by_nation, tpch_shipping_priority, value_quantiles,
+    sessionize, streaming_window, frame_sample, multimodal_features
+    and cell_boundary_quads, all driver-green in r02), so after this
+    round EVERY oracle-backed query has driver-green evidence on
+    record. The tail
     (oracle-backed overflow + intentionally
     rows-only queries) stays covered by the local value-level gate in
     tests/test_entry_contract.py."""
@@ -1710,7 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_adaptive": _q_knn_adaptive,
         "asof_attribution": _q_asof_attribution,
         "ivf_topk": _q_ivf_topk,
-        "cell_boundary_quads": _q_cell_boundary_quads,
+        "decontamination": _q_decontamination,
         "cell_centroid_quads": _q_cell_centroid_quads,
         "linetrace": _q_linetrace,
         "subcells": _q_subcells,
@@ -1761,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": _q_streaming_window,
         "frame_sample": _q_frame_sample,
         "multimodal_features": _q_multimodal_features,
+        "cell_boundary_quads": _q_cell_boundary_quads,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -2526,6 +2548,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curation_pipeline": _curation_pipeline_oracle_sql(ntok, quality),
         "pii_redaction": _pii_redaction_oracle_sql(),
+        "decontamination": f"""
+            WITH ev AS (
+              SELECT doc_id AS eval_id,
+                CASE WHEN doc_id % 14 = 0
+                     THEN array_to_string(toks12, ' ')
+                     ELSE array_to_string(list_reverse(toks12), ' ')
+                END AS text
+              FROM (SELECT doc_id, list_slice({_TOKENIZE}, 1, 12) AS toks12
+                    FROM documents WHERE doc_id % 7 = 0)),
+            ts AS (
+              SELECT DISTINCT doc_id AS tid,
+                unnest(list_transform(range(len(toks) - 7),
+                  i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')))
+                AS span
+              FROM (SELECT doc_id, {_TOKENIZE_LOWER} AS toks FROM documents)
+              WHERE len(toks) >= 8),
+            es AS (
+              SELECT DISTINCT eval_id,
+                unnest(list_transform(range(len(toks) - 7),
+                  i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')))
+                AS span
+              FROM (SELECT eval_id,
+                      string_split_regex(lower(trim(text)), '\\s+') AS toks
+                    FROM ev)
+              WHERE len(toks) >= 8),
+            tot AS (SELECT eval_id, count(*) AS n_spans FROM es GROUP BY 1),
+            hits AS (
+              SELECT es.eval_id,
+                count(DISTINCT es.span) AS n_contaminated,
+                count(DISTINCT ts.tid) AS n_train_docs
+              FROM es JOIN ts ON ts.span = es.span GROUP BY 1)
+            SELECT t.eval_id, t.n_spans,
+              coalesce(h.n_contaminated, 0) AS n_contaminated,
+              round(coalesce(h.n_contaminated, 0) / t.n_spans, 6) + 0.0
+                AS contamination,
+              coalesce(h.n_train_docs, 0) AS n_train_docs
+            FROM tot t LEFT JOIN hits h ON h.eval_id = t.eval_id
+        """,
         "doc_chunks": f"""
             WITH t AS (
               SELECT doc_id, {_TOKENIZE} AS toks, {ntok} AS n

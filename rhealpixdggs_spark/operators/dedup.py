@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ..functions.text import fingerprint, tokens, word_ngrams
+from ..functions.text import fingerprint, token_spans, tokens, word_ngrams
 
 # Mersenne prime modulus for the minhash family h_i(x) = (a_i*x+b_i) % P.
 # 2^31-1 keeps a*h below 2^62 so ANSI int64 arithmetic cannot overflow.
@@ -430,3 +430,61 @@ def near_dedup_filter(
         F.col("id").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def contamination_report(
+    train: DataFrame,
+    evals: DataFrame,
+    width: int = 8,
+    train_text: str = "text",
+    eval_text: str = "text",
+    train_id: str = "doc_id",
+    eval_id: str = "eval_id",
+) -> DataFrame:
+    """Eval-set decontamination audit: for each evaluation document,
+    the fraction of its width-token spans that occur verbatim anywhere
+    in the training corpus, and how many distinct training documents
+    share at least one span. Running this (and excising hits) before
+    training is how corpora avoid benchmark leakage.
+
+    Plan shape: both sides tokenize to DISTINCT per-doc spans
+    (map-side, linear zip_with windows), then one equi-join keyed on
+    the span — uniformly distributed, no skew — and a per-eval-doc
+    count-distinct aggregation. The train side never aggregates
+    globally: at 1e12 training docs the join streams span partitions.
+    Eval documents shorter than ``width`` tokens have no spans and
+    yield no row.
+    """
+    tspans = train.select(
+        F.col(train_id).alias("tid"),
+        F.explode(
+            F.array_distinct(token_spans(F.col(train_text), width))
+        ).alias("span"),
+    )
+    espans = evals.select(
+        F.col(eval_id),
+        F.explode(
+            F.array_distinct(token_spans(F.col(eval_text), width))
+        ).alias("span"),
+    )
+    totals = espans.groupBy(eval_id).agg(F.count(F.lit(1)).alias("n_spans"))
+    hits = (
+        espans.join(tspans, "span")
+        .groupBy(eval_id)
+        .agg(
+            F.countDistinct("span").alias("n_contaminated"),
+            F.countDistinct("tid").alias("n_train_docs"),
+        )
+    )
+    joined = totals.join(hits, eval_id, "left").na.fill(
+        0, ["n_contaminated", "n_train_docs"]
+    )
+    return joined.select(
+        eval_id,
+        "n_spans",
+        "n_contaminated",
+        (
+            F.round(F.col("n_contaminated") / F.col("n_spans"), 6) + F.lit(0.0)
+        ).alias("contamination"),
+        "n_train_docs",
+    )

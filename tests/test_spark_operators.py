@@ -260,6 +260,30 @@ class TestDedupText:
         }
         assert small <= big
 
+    def test_contamination_report(self, spark):
+        from rhealpixdggs_spark.operators.dedup import contamination_report
+
+        train = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "x y z w v u t s")],
+            ["doc_id", "text"],
+        )
+        evals = spark.createDataFrame(
+            [
+                (10, "a b c d e f g h i"),  # 2 spans, both in train doc 1
+                (11, "c b a d e f g h i"),  # 2 spans, neither in train
+                (12, "q r s"),  # < width: no row
+            ],
+            ["eval_id", "text"],
+        )
+        got = {
+            r.eval_id: r
+            for r in contamination_report(train, evals, width=8).collect()
+        }
+        assert set(got) == {10, 11}
+        assert got[10].n_spans == 2 and got[10].n_contaminated == 2
+        assert got[10].contamination == 1.0 and got[10].n_train_docs == 1
+        assert got[11].n_contaminated == 0 and got[11].contamination == 0.0
+
     def test_chunk_documents(self, spark):
         from rhealpixdggs_spark.operators.corpus import chunk_documents
 
