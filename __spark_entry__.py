@@ -1200,12 +1200,18 @@ def _q_region_cover(spark, sf_dir):
     res-3 cells covering an ellipsoidal quad that spans the cap
     boundary — equatorial rows are closed-form column ranges, cap rows
     fall back to the per-row parallel walk (operators/tiling.
-    region_cover_ell_df). Rows-only; kernel-equality pinned in
-    tests/test_tiling_distributed.py; the SQL-gated variant is
-    region_cover_ell."""
+    region_cover_ell_df). The oracle is the REFERENCE EXECUTED on the
+    same quad (cells_from_region, dggs.py:1181-1331; vendored by
+    tools/gen_reference_goldens.py); kernel-equality additionally
+    pinned in tests/test_tiling_distributed.py. The equatorial-quad
+    SQL-rederivation variant is region_cover_ell."""
     from rhealpixdggs_spark.operators.tiling import region_cover_ell_df
 
-    return region_cover_ell_df(spark, 3, (-10.0, 60.0), (30.0, 34.0))
+    return region_cover_ell_df(spark, 3, (-10.0, 60.0), (30.0, 34.0)).select(
+        F.col("row_i").cast("int").alias("row_i"),
+        F.col("col_i").cast("int").alias("col_i"),
+        "cell_id",
+    )
 
 
 def _q_region_cover_ell(spark, sf_dir):
@@ -1325,8 +1331,12 @@ def _q_region_cover_planar(spark, sf_dir):
 
 def _q_zone_from_poly(spark, sf_dir):
     """Distributed multi-resolution zone of the dart-reaching euro ring
-    (zone_from_poly_df); kernel-equality pinned in
-    tests/test_tiling_distributed.py."""
+    (zone_from_poly_df). The oracle is the REFERENCE EXECUTED on the
+    same ring: conversion.CellZoneFromPoly (conversion.py:40-111) run
+    once per res-0 face as bounding cell (the ring spans two faces,
+    so no single bounding cell exists), vendored by
+    tools/gen_reference_goldens.py; kernel-equality additionally
+    pinned in tests/test_tiling_distributed.py."""
     from rhealpixdggs_spark.operators.tiling import zone_from_poly_df
 
     return zone_from_poly_df(
@@ -1342,7 +1352,8 @@ def _q_linetrace(spark, sf_dir):
     columns of the row containing the latitude. The oracle re-derives
     that column walk with pure integer arithmetic between the two
     independently-encoded endpoints. The general multi-segment
-    polyline stays rows-only (linetrace_many)."""
+    polyline (linetrace_many) is gated against a reference-executed
+    golden."""
     from rhealpixdggs_spark.operators.tiling import linetrace_df
 
     seg = [(-19.9, 9.7), (40.1, 9.7)]
@@ -1544,22 +1555,29 @@ def _q_tpch_returned_items(spark, sf_dir):
 
 
 def _q_linetrace_many(spark, sf_dir):
-    """Distributed linetrace: one short linestring per supplier,
-    walked in parallel across rows (operators/tiling.linetrace_df).
-    Rows-only check; the walk kernel is golden-tested against the
-    reference (tests/test_kernel_regions.py)."""
+    """Distributed multi-segment linetrace: a deterministic fleet of
+    40 three-point equatorial-band polylines (all coordinates exact
+    doubles), walked in parallel across rows
+    (operators/tiling.linetrace_df). The oracle is the REFERENCE
+    EXECUTED on the same fleet: cells_from_line (dggs.py:1096-1179)
+    per segment, concatenated with consecutive-duplicate removal
+    (rhp_wrappers.py:602-674), vendored by
+    tools/gen_reference_goldens.py."""
     from rhealpixdggs_spark.operators.tiling import linetrace_df
 
-    pts = _points(spark, sf_dir, "supplier")
-    lines = pts.select(
-        F.col("pid").alias("line_id"),
+    lon0 = F.col("id") * 8.0 - 168.0
+    lat0 = (F.col("id") * 7 % 61).cast("double") - 33.0
+    lines = spark.range(40).select(
+        F.col("id").cast("int").alias("line_id"),
         F.array(
-            F.struct((F.col("lon") * 0.9).alias("lon"), (F.col("lat") * 0.9).alias("lat")),
-            F.struct((F.col("lon") * 0.9 + 3.0).alias("lon"), (F.col("lat") * 0.9 + 1.5).alias("lat")),
-            F.struct((F.col("lon") * 0.9 + 6.0).alias("lon"), (F.col("lat") * 0.9 - 1.5).alias("lat")),
+            F.struct(lon0.alias("lon"), lat0.alias("lat")),
+            F.struct((lon0 + 3.0).alias("lon"), (lat0 + 1.5).alias("lat")),
+            F.struct((lon0 + 6.0).alias("lon"), (lat0 - 1.5).alias("lat")),
         ).alias("line"),
     )
-    return linetrace_df(lines, res=2)
+    return linetrace_df(lines, res=3).select(
+        "line_id", F.col("seq").cast("int").alias("seq"), "cell_id"
+    )
 
 
 def _q_hex7_cross_index(spark, sf_dir):
@@ -1699,31 +1717,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Oracle-backed queries ROTATE through the window across rounds so
     every one accumulates driver-green evidence: round 3 rotated IN
     the round-2 oracles (kring_interior, streaming_geo_counts,
-    lsh_cosine_topk), the new end-to-end zone_assign, AND the three
-    round-3 oracles (cell_geometry, neighbors, linetrace) plus the
-    late-round corpus-curation family (span_dedup, source_rollup,
+    lsh_cosine_topk), the new end-to-end zone_assign, the three
+    round-3 SQL-rederivation oracles (cell_geometry, neighbors,
+    linetrace), the corpus-curation family (span_dedup, source_rollup,
     repetition_signals, corpus_sample, curation_pipeline,
     pii_redaction, dedup_components, near_dedup_keep, doc_chunks,
-    decontamination) — rotating OUT nineteen queries hash-green in
-    prior rounds (knn_brute, cell_metrics, topk_cells,
-    tpch_returned_items, encode_cells_res5, knn_rings, hierarchy_ops,
-    containment_packed, interval_scan, and — to make room for the ten
-    new round-3 oracles — cell_nucleus, cell_xy_range,
-    revenue_by_nation, tpch_shipping_priority, value_quantiles,
-    sessionize, streaming_window, frame_sample, multimodal_features
-    and cell_boundary_quads, all driver-green in r02), so after this
-    round EVERY oracle-backed query has driver-green evidence on
-    record. The tail
-    (oracle-backed overflow + intentionally
-    rows-only queries) stays covered by the local value-level gate in
+    decontamination), AND the three reference-EXECUTED goldens that
+    were rows-only until round 3 (region_cover, zone_from_poly,
+    linetrace_many; tools/gen_reference_goldens.py) — rotating OUT
+    twenty-two queries hash-green in BOTH prior rounds or in r02
+    (knn_brute, cell_metrics, topk_cells, tpch_returned_items,
+    encode_cells_res5, knn_rings, hierarchy_ops, containment_packed,
+    interval_scan, cell_nucleus, cell_xy_range, revenue_by_nation,
+    tpch_shipping_priority, value_quantiles, sessionize,
+    streaming_window, frame_sample, multimodal_features,
+    cell_boundary_quads, and — for the reference-executed trio —
+    encode_points_res9, parent_rollup, containment_join, each green
+    in r01 AND r02), so after this round EVERY oracle-backed query
+    has driver-green evidence on record. The tail (oracle-backed
+    overflow + the five intentionally rows-only queries) stays
+    covered by the local value-level gate in
     tests/test_entry_contract.py."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
-        "encode_points_res9": _q_encode_res9,
-        "parent_rollup": _q_parent_rollup,
+        "region_cover": _q_region_cover,
+        "zone_from_poly": _q_zone_from_poly,
         "kring_interior": _q_kring_interior,
-        "containment_join": _q_containment_join,
+        "linetrace_many": _q_linetrace_many,
         "span_dedup": _q_span_dedup,
         "streaming_geo_counts": _q_streaming_geo_counts,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
@@ -1773,6 +1794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior round (r01: doc_fingerprint..events_window; r01+r02:
         # knn_brute..interval_scan rotated out this round to make room
         # for the two late-round-3 oracles span_dedup/source_rollup)
+        "encode_points_res9": _q_encode_res9,
+        "parent_rollup": _q_parent_rollup,
+        "containment_join": _q_containment_join,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1802,9 +1826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cross_index": _q_s2_cross_index,
         "hex7_cross_index": _q_hex7_cross_index,
         "polyfill": _q_polyfill,
-        "region_cover": _q_region_cover,
-        "zone_from_poly": _q_zone_from_poly,
-        "linetrace_many": _q_linetrace_many,
         "image_decode": _q_image_decode,
     }
 
@@ -2395,6 +2416,41 @@ def _cell_geometry_oracle_sql() -> str:
     )
 
 
+def _ref_goldens():
+    """Reference-EXECUTED goldens (region_cover / linetrace_many /
+    zone_from_poly), generated and kernel-cross-checked by
+    tools/gen_reference_goldens.py and vendored into the package."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "rhealpixdggs_spark", "data", "ref_goldens.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _region_cover_oracle_sql():
+    rows = _ref_goldens()["region_cover"]["rows"]
+    vals = ", ".join(f"({r}, {c}, '{s}')" for r, c, s in rows)
+    return f"SELECT row_i, col_i, cell_id FROM (VALUES {vals}) t(row_i, col_i, cell_id)"
+
+
+def _linetrace_many_oracle_sql():
+    rows = _ref_goldens()["linetrace_many"]["rows"]
+    vals = ", ".join(f"({l}, {q}, '{s}')" for l, q, s in rows)
+    return f"SELECT line_id, seq, cell_id FROM (VALUES {vals}) t(line_id, seq, cell_id)"
+
+
+def _zone_from_poly_oracle_sql():
+    cells = _ref_goldens()["zone_from_poly"]["cells"]
+    vals = ", ".join(f"('{c}')" for c in cells)
+    return (
+        f"SELECT cell_id, length(cell_id) - 1 AS res "
+        f"FROM (VALUES {vals}) t(cell_id)"
+    )
+
+
 def _zone_catchment_oracle_sql():
     """The reference's published ground-truth zone for catchment
     12104622 (tests/test_conversion.py:58-538) as a literal oracle."""
@@ -2843,6 +2899,9 @@ def oracle_sql() -> dict[str, str]:
         "cell_geometry": _cell_geometry_oracle_sql(),
         "neighbors": _neighbors_oracle_sql(),
         "linetrace": _linetrace_oracle_sql(),
+        "linetrace_many": _linetrace_many_oracle_sql(),
+        "region_cover": _region_cover_oracle_sql(),
+        "zone_from_poly": _zone_from_poly_oracle_sql(),
         "streaming_geo_counts": f"""
             WITH enc AS MATERIALIZED ({enc3})
             SELECT cell_id, count(*) AS n FROM enc GROUP BY cell_id
@@ -2986,14 +3045,14 @@ def oracle_sql() -> dict[str, str]:
         # Intentionally rows-only (no SQL twin): kring_sizes (general
         # ring walk incl. face crossings), s2_cross_index,
         # hex7_cross_index (Hilbert tables / icosahedral gnomonic),
-        # polyfill / region_cover / zone_from_poly (cap+dart geometry —
-        # their equatorial twins polyfill_eq / region_cover_ell /
-        # zone_catchment ARE SQL-gated), linetrace_many (multi-segment
-        # neighbor walk — the straight equatorial case linetrace IS
-        # SQL-gated), image_decode (fake-codec stub). None are
-        # SQL-expressible in DuckDB; the driver records rows-only
-        # checks and pytest pins their values against reference golden
-        # fixtures (tests/test_kernel_*, test_tiling_distributed).
+        # polyfill (dart-reaching even-odd fill — its equatorial twin
+        # polyfill_eq IS SQL-gated), image_decode (fake-codec stub).
+        # None are SQL-expressible in DuckDB; the driver records
+        # rows-only checks and pytest pins their values against
+        # reference golden fixtures (tests/test_kernel_*,
+        # test_tiling_distributed). region_cover / zone_from_poly /
+        # linetrace_many graduated in round 3 to reference-EXECUTED
+        # VALUES oracles (tools/gen_reference_goldens.py).
     }
 
 

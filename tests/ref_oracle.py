@@ -29,6 +29,125 @@ def _mod(name: str) -> types.ModuleType:
     return m
 
 
+# --- minimal planar geometry stand-ins for shapely (test-only) -----------
+#
+# The reference's cells_from_line and conversion.CellZoneFromPoly use a
+# small subset of shapely: 2-point LineString.intersects, Polygon
+# contains/overlaps, Point. These stand-ins implement exactly that
+# subset with the textbook predicates (even-odd ray crossing for
+# point-in-polygon, orientation signs for segment intersection) — the
+# same approach the matplotlib.path.Path stub above already takes.
+# Shapely's exact boundary semantics (touch vs cross) differ only on
+# measure-zero float coincidences that the exercised fixtures avoid.
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    return (v > 0) - (v < 0)
+
+
+def _segments_intersect(p1, p2, q1, q2) -> bool:
+    """Inclusive segment intersection (touching counts), matching
+    shapely's LineString.intersects."""
+    o1 = _orient(*p1, *p2, *q1)
+    o2 = _orient(*p1, *p2, *q2)
+    o3 = _orient(*q1, *q2, *p1)
+    o4 = _orient(*q1, *q2, *p2)
+    if o1 != o2 and o3 != o4:
+        return True
+
+    def on_seg(a, b, c):
+        return (
+            min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+        )
+
+    if o1 == 0 and on_seg(p1, p2, q1):
+        return True
+    if o2 == 0 and on_seg(p1, p2, q2):
+        return True
+    if o3 == 0 and on_seg(q1, q2, p1):
+        return True
+    if o4 == 0 and on_seg(q1, q2, p2):
+        return True
+    return False
+
+
+class Point:
+    def __init__(self, *args):
+        if len(args) == 1:
+            self.coords_pt = (float(args[0][0]), float(args[0][1]))
+        else:
+            self.coords_pt = (float(args[0]), float(args[1]))
+
+
+class LineString:
+    def __init__(self, coords):
+        self.coords_ls = [(float(x), float(y)) for x, y in coords]
+
+    def _segs(self):
+        return list(zip(self.coords_ls, self.coords_ls[1:]))
+
+    def intersects(self, other) -> bool:
+        return any(
+            _segments_intersect(a0, a1, b0, b1)
+            for a0, a1 in self._segs()
+            for b0, b1 in other._segs()
+        )
+
+
+class Polygon:
+    def __init__(self, shell):
+        self.verts = [(float(x), float(y)) for x, y in shell]
+        if self.verts and self.verts[0] == self.verts[-1]:
+            self.verts = self.verts[:-1]
+
+    def _inside(self, x, y) -> bool:
+        inside = False
+        v = self.verts
+        n = len(v)
+        for i in range(n):
+            x1, y1 = v[i]
+            x2, y2 = v[(i + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+                if x < xin:
+                    inside = not inside
+        return inside
+
+    def _edges(self):
+        v = self.verts
+        return [(v[i], v[(i + 1) % len(v)]) for i in range(len(v))]
+
+    def _proper_cross(self, other) -> bool:
+        for a0, a1 in self._edges():
+            for b0, b1 in other._edges():
+                o1 = _orient(*a0, *a1, *b0)
+                o2 = _orient(*a0, *a1, *b1)
+                o3 = _orient(*b0, *b1, *a0)
+                o4 = _orient(*b0, *b1, *a1)
+                if o1 * o2 < 0 and o3 * o4 < 0:
+                    return True
+        return False
+
+    def contains(self, other) -> bool:
+        if isinstance(other, Point):
+            return self._inside(*other.coords_pt)
+        return (
+            all(self._inside(x, y) for x, y in other.verts)
+            and not self._proper_cross(other)
+        )
+
+    def overlaps(self, other) -> bool:
+        a_in = [self._inside(x, y) for x, y in other.verts]
+        b_in = [other._inside(x, y) for x, y in self.verts]
+        if self._proper_cross(other):
+            return True
+        if all(a_in) or all(b_in):
+            return False  # containment either way, not an overlap
+        return any(a_in) or any(b_in)
+
+
 def _install_stubs():
     if "pyproj" not in sys.modules:
         pyproj = _mod("pyproj")
@@ -86,14 +205,13 @@ def _install_stubs():
     if "shapely" not in sys.modules:
         shapely = _mod("shapely")
         geometry = _mod("shapely.geometry")
-        for name in (
-            "Point",
-            "Polygon",
-            "MultiPolygon",
-            "LineString",
-            "MultiLineString",
+        for name, cls in (
+            ("Point", Point),
+            ("Polygon", Polygon),
+            ("MultiPolygon", type("MultiPolygon", (), {})),
+            ("LineString", LineString),
+            ("MultiLineString", type("MultiLineString", (), {})),
         ):
-            cls = type(name, (), {})
             setattr(shapely, name, cls)
             setattr(geometry, name, cls)
         shapely.is_valid_reason = lambda g: "Valid Geometry"

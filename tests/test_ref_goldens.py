@@ -1,0 +1,64 @@
+"""Vendored reference-executed goldens stay consistent with the kernel.
+
+rhealpixdggs_spark/data/ref_goldens.json was produced by
+tools/gen_reference_goldens.py, which EXECUTES the reference library
+(cells_from_region, cells_from_line, CellZoneFromPoly) and
+cross-checks against the engine kernel before writing. These tests
+re-run the kernel side only, so a kernel regression (or a stale
+vendored file) fails without needing the reference checkout.
+"""
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from rhealpixdggs_spark.kernel import regions as KR  # noqa: E402
+from rhealpixdggs_spark.kernel import zones as KZ  # noqa: E402
+from rhealpixdggs_spark.kernel.constants import WGS84_003  # noqa: E402
+
+
+def _gen_module():
+    path = os.path.join(REPO, "tools", "gen_reference_goldens.py")
+    spec = importlib.util.spec_from_file_location("gen_ref_goldens", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _goldens():
+    path = os.path.join(
+        REPO, "rhealpixdggs_spark", "data", "ref_goldens.json"
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_region_cover_golden_matches_kernel():
+    g = _goldens()["region_cover"]
+    M = KR.cells_from_region(
+        WGS84_003, g["res"], tuple(g["ul"]), tuple(g["dr"]), plane=False
+    )
+    krows = [[i, j, c] for i, row in enumerate(M) for j, c in enumerate(row)]
+    assert krows == g["rows"]
+
+
+def test_linetrace_golden_matches_kernel():
+    g = _goldens()["linetrace_many"]
+    gen = _gen_module()
+    assert g["n_lines"] == gen.N_LINES and g["res"] == gen.LINE_RES
+    krows = []
+    for line_id, pts in gen.line_fleet():
+        cells = KR.linetrace(WGS84_003, [pts], g["res"], plane=False)
+        krows.extend([line_id, seq, c] for seq, c in enumerate(cells))
+    assert krows == g["rows"]
+
+
+def test_zone_golden_matches_kernel():
+    g = _goldens()["zone_from_poly"]
+    poly = [tuple(p) for p in g["polygon"]]
+    kcells = sorted(
+        KZ.zone_from_poly(WGS84_003, [(poly, [])], g["res_limit"])
+    )
+    assert kcells == g["cells"]

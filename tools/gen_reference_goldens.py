@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Generate reference-EXECUTED goldens for the formerly rows-only
+contract queries, vendored into rhealpixdggs_spark/data/.
+
+The reference library at /root/reference is executed, not copied:
+
+- region_cover: `RHEALPixDGGS.cells_from_region` (dggs.py:1181-1331)
+  runs verbatim on the cap-spanning quad of the `region_cover`
+  contract query.
+- linetrace_many: `RHEALPixDGGS.cells_from_line` (dggs.py:1096-1179)
+  runs verbatim per segment of a deterministic 40-line fleet;
+  segments are concatenated with consecutive-duplicate removal, the
+  multi-segment semantics of rhp_wrappers.py:602-674.
+- zone_from_poly: `conversion.CellZoneFromPoly` (conversion.py:40-111)
+  runs once per res-0 face as bounding cell (the geometry spans two
+  faces, so no single bounding cell exists) on the euro-ring polygon.
+
+cells_from_line and CellZoneFromPoly need a tiny subset of shapely
+(absent in this sandbox); tests/ref_oracle.py provides minimal
+pure-Python stand-ins (even-odd point-in-polygon, orientation-sign
+segment intersection). All recursion, cell/vertex/nucleus math and
+walk ordering run in reference code.
+
+Each golden is cross-checked against the engine's own kernel before
+being written; the script fails loudly on any mismatch.
+
+Usage: python tools/gen_reference_goldens.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from ref_oracle import load_reference  # noqa: E402
+
+from rhealpixdggs_spark.kernel import regions as KR  # noqa: E402
+from rhealpixdggs_spark.kernel import zones as KZ  # noqa: E402
+from rhealpixdggs_spark.kernel.constants import WGS84_003  # noqa: E402
+
+DATA_DIR = os.path.join(REPO, "rhealpixdggs_spark", "data")
+
+# The contract queries' fixed inputs (duplicated in __spark_entry__.py).
+EURO_RING = [(-10.0, 36.0), (25.0, 34.0), (30.0, 58.0), (-8.0, 60.0)]
+COVER_UL, COVER_DR, COVER_RES = (-10.0, 60.0), (30.0, 34.0), 3
+ZONE_RES_LIMIT = 3
+LINE_RES, N_LINES = 3, 40
+
+
+def line_fleet() -> list[tuple[int, list[tuple[float, float]]]]:
+    """Deterministic 3-point lines in the equatorial band (no cap
+    cells, no antimeridian crossing — the reference's own documented
+    limits, dggs.py:1107-1114). All coordinates are exactly
+    representable doubles so the Spark column arithmetic in
+    _q_linetrace_many reproduces them bit-identically."""
+    fleet = []
+    for i in range(N_LINES):
+        lon0 = i * 8.0 - 168.0
+        lat0 = float(i * 7 % 61) - 33.0
+        fleet.append(
+            (
+                i,
+                [
+                    (lon0, lat0),
+                    (lon0 + 3.0, lat0 + 1.5),
+                    (lon0 + 6.0, lat0 - 1.5),
+                ],
+            )
+        )
+    return fleet
+
+
+def gen_region_cover(ref) -> list[list]:
+    rdggs = ref.dggs.WGS84_003
+    M = rdggs.cells_from_region(COVER_RES, COVER_UL, COVER_DR, plane=False)
+    rows = [
+        [i, j, str(cell)]
+        for i, row in enumerate(M)
+        for j, cell in enumerate(row)
+    ]
+    # Cross-check vs the engine kernel.
+    K = KR.cells_from_region(WGS84_003, COVER_RES, COVER_UL, COVER_DR, plane=False)
+    krows = [[i, j, c] for i, row in enumerate(K) for j, c in enumerate(row)]
+    assert rows == krows, "region_cover: reference != kernel"
+    return rows
+
+
+def gen_linetrace(ref) -> list[list]:
+    rdggs = ref.dggs.WGS84_003
+    rows = []
+    for line_id, pts in line_fleet():
+        cells: list[str] = []
+        for a, b in zip(pts, pts[1:]):
+            cells.extend(str(c) for c in rdggs.cells_from_line(LINE_RES, a, b, False))
+        dedup: list[str] = []
+        for c in cells:
+            if not dedup or dedup[-1] != c:
+                dedup.append(c)
+        kcells = KR.linetrace(WGS84_003, [pts], LINE_RES, plane=False)
+        assert dedup == kcells, f"linetrace line {line_id}: reference != kernel"
+        rows.extend([line_id, seq, c] for seq, c in enumerate(dedup))
+    return rows
+
+
+def gen_zone(ref) -> list[str]:
+    import rhealpixdggs.conversion as conversion
+
+    rdggs = ref.dggs.WGS84_003
+    poly = sys.modules["shapely.geometry"].Polygon(EURO_RING)
+    cells: list[str] = []
+    for face in "NOPQRS":
+        z = conversion.CellZoneFromPoly(
+            ("euro", poly),
+            ZONE_RES_LIMIT,
+            return_cells=True,
+            bounding_cell=ref.cell.Cell(rdggs=rdggs, suid=(face,)),
+            rdggs=rdggs,
+        )
+        cells.extend(str(c) for c in z.cells_list)
+    kcells = KZ.zone_from_poly(WGS84_003, [(EURO_RING, [])], ZONE_RES_LIMIT)
+    assert sorted(cells) == sorted(kcells), "zone: reference != kernel"
+    return sorted(cells)
+
+
+def main() -> None:
+    ref = load_reference()
+    if ref is None:
+        raise SystemExit("reference unavailable at /root/reference")
+    out = {
+        "provenance": (
+            "executed from /root/reference (manaakiwhenua/rhealpixdggs-py): "
+            "cells_from_region dggs.py:1181-1331, cells_from_line "
+            "dggs.py:1096-1179, CellZoneFromPoly conversion.py:40-111; "
+            "shapely subset stubbed per tests/ref_oracle.py; cross-checked "
+            "against the engine kernel by tools/gen_reference_goldens.py"
+        ),
+        "region_cover": {
+            "res": COVER_RES,
+            "ul": list(COVER_UL),
+            "dr": list(COVER_DR),
+            "rows": gen_region_cover(ref),
+        },
+        "linetrace_many": {
+            "res": LINE_RES,
+            "n_lines": N_LINES,
+            "rows": gen_linetrace(ref),
+        },
+        "zone_from_poly": {
+            "res_limit": ZONE_RES_LIMIT,
+            "polygon": [list(p) for p in EURO_RING],
+            "cells": gen_zone(ref),
+        },
+    }
+    path = os.path.join(DATA_DIR, "ref_goldens.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(
+        f"wrote {path}: cover={len(out['region_cover']['rows'])} rows, "
+        f"linetrace={len(out['linetrace_many']['rows'])} rows, "
+        f"zone={len(out['zone_from_poly']['cells'])} cells"
+    )
+
+
+if __name__ == "__main__":
+    main()
