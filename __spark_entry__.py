@@ -245,14 +245,21 @@ def _q_knn_rings(spark, sf_dir):
 
 
 def _q_kring_sizes(spark, sf_dir):
-    tiles = (
-        _points(spark, sf_dir, "customer")
-        .withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 3))
-        .select("cell_id")
-        .distinct()
-    )
-    return tiles.select(
-        "cell_id", F.size(rhp_k_ring(F.col("cell_id"), 2)).alias("ring_size")
+    """k=2 disk of EVERY res-2 cell — all 486, covering every
+    cube-edge and cube-corner crossing configuration of the general
+    ring walk (rhp_wrappers.py:371-507). The oracle is the REFERENCE
+    EXECUTED per cell (rhp_wrappers.k_ring), vendored as
+    (cell_id, n_disk, md5-of-sorted-members) by
+    tools/gen_reference_goldens.py; md5 exists in both engines, so
+    full disk MEMBERSHIP is hash-pinned, not just sizes."""
+    from rhealpixdggs_spark.operators.tiling import grid
+
+    disk = rhp_k_ring(F.col("cell_id"), 2)
+    members = F.array_sort(F.array_distinct(disk))
+    return grid(spark, 2).select(
+        "cell_id",
+        F.size(members).alias("n_disk"),
+        F.md5(F.array_join(members, ",")).alias("disk_md5"),
     )
 
 
@@ -1175,10 +1182,13 @@ EQ_POLY_HOLE = [(0.0, 0.0), (10.0, 0.0), (5.0, 10.0), (0.0, 0.0)]
 def _q_polyfill(spark, sf_dir):
     """Distributed polyfill (operators/tiling.polyfill_df): candidates
     from the distributed bbox cover, centroid decode in one Arrow pass,
-    even-odd filter as column math. Rows-only here (euro ring reaches
-    dart cells); the kernel-equality pin lives in
-    tests/test_tiling_distributed.py and the SQL-gated variant is
-    polyfill_eq."""
+    even-odd filter as column math. The euro ring reaches dart cells,
+    so the oracle is the REFERENCE EXECUTED on the same ring
+    (rhp_wrappers.polyfill, rhp_wrappers.py:510-599; dart/skew
+    centroids via Gauss-Legendre dblquad), vendored by
+    tools/gen_reference_goldens.py; kernel-equality additionally
+    pinned in tests/test_tiling_distributed.py. The SQL-rederivation
+    variant is polyfill_eq."""
     from rhealpixdggs_spark.operators.tiling import polyfill_df
 
     return polyfill_df(spark, {"euro": [(EURO_RING, [])]}, res=3, plane=False)
@@ -1722,22 +1732,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     linetrace), the corpus-curation family (span_dedup, source_rollup,
     repetition_signals, corpus_sample, curation_pipeline,
     pii_redaction, dedup_components, near_dedup_keep, doc_chunks,
-    decontamination), AND the three reference-EXECUTED goldens that
+    decontamination), AND the five reference-EXECUTED goldens that
     were rows-only until round 3 (region_cover, zone_from_poly,
-    linetrace_many; tools/gen_reference_goldens.py) — rotating OUT
-    twenty-two queries hash-green in BOTH prior rounds or in r02
-    (knn_brute, cell_metrics, topk_cells, tpch_returned_items,
-    encode_cells_res5, knn_rings, hierarchy_ops, containment_packed,
-    interval_scan, cell_nucleus, cell_xy_range, revenue_by_nation,
+    linetrace_many, polyfill, kring_sizes;
+    tools/gen_reference_goldens.py) — rotating OUT twenty-four
+    queries hash-green in BOTH prior rounds or in r02 (knn_brute,
+    cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
+    knn_rings, hierarchy_ops, containment_packed, interval_scan,
+    cell_nucleus, cell_xy_range, revenue_by_nation,
     tpch_shipping_priority, value_quantiles, sessionize,
     streaming_window, frame_sample, multimodal_features,
-    cell_boundary_quads, and — for the reference-executed trio —
-    encode_points_res9, parent_rollup, containment_join, each green
-    in r01 AND r02), so after this round EVERY oracle-backed query
-    has driver-green evidence on record. The tail (oracle-backed
-    overflow + the five intentionally rows-only queries) stays
-    covered by the local value-level gate in
-    tests/test_entry_contract.py."""
+    cell_boundary_quads, and — for the reference-executed five —
+    encode_points_res9, parent_rollup, containment_join,
+    cell_from_region, grid_res3, each green in r01 AND r02), so
+    after this round EVERY oracle-backed query has driver-green
+    evidence on record. The tail (oracle-backed overflow + the three
+    intentionally rows-only queries) stays covered by the local
+    value-level gate in tests/test_entry_contract.py."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -1757,10 +1768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linetrace": _q_linetrace,
         "subcells": _q_subcells,
         "compress_cells": _q_compress_cells,
-        "cell_from_region": _q_cell_from_region,
+        "polyfill": _q_polyfill,
         "minimal_cover": _q_minimal_cover,
         "salted_cell_agg": _q_salted_cell_agg,
-        "grid_res3": _q_grid_res3,
+        "kring_sizes": _q_kring_sizes,
         "source_rollup": _q_source_rollup,
         "neighbors_interior": _q_neighbors_interior,
         "region_cover_ell": _q_region_cover_ell,
@@ -1797,6 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_points_res9": _q_encode_res9,
         "parent_rollup": _q_parent_rollup,
         "containment_join": _q_containment_join,
+        "cell_from_region": _q_cell_from_region,
+        "grid_res3": _q_grid_res3,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1822,10 +1835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_packed": _q_containment_packed,
         "interval_scan": _q_interval,
         # -- rows-only (no SQL twin; see oracle_sql() tail comment)
-        "kring_sizes": _q_kring_sizes,
         "s2_cross_index": _q_s2_cross_index,
         "hex7_cross_index": _q_hex7_cross_index,
-        "polyfill": _q_polyfill,
         "image_decode": _q_image_decode,
     }
 
@@ -2442,6 +2453,24 @@ def _linetrace_many_oracle_sql():
     return f"SELECT line_id, seq, cell_id FROM (VALUES {vals}) t(line_id, seq, cell_id)"
 
 
+def _polyfill_oracle_sql():
+    g = _ref_goldens()["polyfill"]
+    vals = ", ".join(f"('{c}')" for c in g["cells"])
+    return (
+        f"SELECT tile_id, CAST(length(tile_id) - 1 AS INT) AS res, "
+        f"'euro' AS zone FROM (VALUES {vals}) t(tile_id)"
+    )
+
+
+def _kring_sizes_oracle_sql():
+    rows = _ref_goldens()["kring_sizes"]["rows"]
+    vals = ", ".join(f"('{s}', {n}, '{h}')" for s, n, h in rows)
+    return (
+        f"SELECT cell_id, n_disk, disk_md5 "
+        f"FROM (VALUES {vals}) t(cell_id, n_disk, disk_md5)"
+    )
+
+
 def _zone_from_poly_oracle_sql():
     cells = _ref_goldens()["zone_from_poly"]["cells"]
     vals = ", ".join(f"('{c}')" for c in cells)
@@ -2902,6 +2931,8 @@ def oracle_sql() -> dict[str, str]:
         "linetrace_many": _linetrace_many_oracle_sql(),
         "region_cover": _region_cover_oracle_sql(),
         "zone_from_poly": _zone_from_poly_oracle_sql(),
+        "polyfill": _polyfill_oracle_sql(),
+        "kring_sizes": _kring_sizes_oracle_sql(),
         "streaming_geo_counts": f"""
             WITH enc AS MATERIALIZED ({enc3})
             SELECT cell_id, count(*) AS n FROM enc GROUP BY cell_id
@@ -3042,17 +3073,15 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS frame_sum
             FROM f WHERE fi % 3 = 0
         """,
-        # Intentionally rows-only (no SQL twin): kring_sizes (general
-        # ring walk incl. face crossings), s2_cross_index,
-        # hex7_cross_index (Hilbert tables / icosahedral gnomonic),
-        # polyfill (dart-reaching even-odd fill — its equatorial twin
-        # polyfill_eq IS SQL-gated), image_decode (fake-codec stub).
-        # None are SQL-expressible in DuckDB; the driver records
+        # Intentionally rows-only (no SQL twin): s2_cross_index,
+        # hex7_cross_index (Hilbert tables / icosahedral gnomonic
+        # have no DuckDB twin and no executable reference here),
+        # image_decode (fake-codec stub). The driver records
         # rows-only checks and pytest pins their values against
-        # reference golden fixtures (tests/test_kernel_*,
-        # test_tiling_distributed). region_cover / zone_from_poly /
-        # linetrace_many graduated in round 3 to reference-EXECUTED
-        # VALUES oracles (tools/gen_reference_goldens.py).
+        # kernel golden tests. region_cover / zone_from_poly /
+        # linetrace_many / polyfill / kring_sizes graduated in
+        # round 3 to reference-EXECUTED VALUES oracles
+        # (tools/gen_reference_goldens.py).
     }
 
 

@@ -6,8 +6,12 @@ The stubs only cover what the exercised code paths touch:
 
 - pyproj.get_ellps_map: WGS84/sphere constants (public values).
 - matplotlib.path.Path.contains_point: even-odd ray crossing.
-- scipy.integrate / shapely symbols: attribute placeholders (the
-  oracle tests avoid code paths that call them).
+- shapely Point/LineString/Polygon: minimal planar geometry
+  (even-odd containment, orientation-sign segment intersection) —
+  enough for cells_from_line, rhp_wrappers.polyfill/linetrace and
+  conversion.CellZoneFromPoly.
+- scipy.integrate.dblquad: fixed-order Gauss-Legendre quadrature
+  (Cell.centroid dart/skew integrals).
 
 This file is TEST-ONLY; the engine itself never imports the reference.
 """
@@ -97,10 +101,33 @@ class LineString:
 
 
 class Polygon:
+    geom_type = "Polygon"
+    is_valid = True  # fixtures are simple valid rings
+
     def __init__(self, shell):
         self.verts = [(float(x), float(y)) for x, y in shell]
         if self.verts and self.verts[0] == self.verts[-1]:
             self.verts = self.verts[:-1]
+
+    @property
+    def is_empty(self):
+        return len(self.verts) < 3
+
+    @property
+    def area(self):
+        v = self.verts
+        n = len(v)
+        a2 = sum(
+            v[i][0] * v[(i + 1) % n][1] - v[(i + 1) % n][0] * v[i][1]
+            for i in range(n)
+        )
+        return abs(a2) / 2.0
+
+    @property
+    def bounds(self):
+        xs = [x for x, _ in self.verts]
+        ys = [y for _, y in self.verts]
+        return (min(xs), min(ys), max(xs), max(ys))
 
     def _inside(self, x, y) -> bool:
         inside = False
@@ -194,8 +221,27 @@ def _install_stubs():
         scipy = _mod("scipy")
         integrate = _mod("scipy.integrate")
 
-        def _dblquad(*a, **k):  # pragma: no cover
-            raise RuntimeError("scipy unavailable in sandbox")
+        def _dblquad(func, a, b, gfun, hfun, order=24):
+            """Fixed-order Gauss-Legendre stand-in for
+            scipy.integrate.dblquad: integrates func(inner, outer)
+            over outer in [a, b], inner in [gfun(outer), hfun(outer)].
+            The reference only integrates the smooth rHEALPix inverse
+            over one cell (cell.py Cell.centroid dart/skew), where
+            24x24 nodes are exact to ~1e-12."""
+            import numpy as np
+
+            x, w = np.polynomial.legendre.leggauss(order)
+            ou = 0.5 * (b - a) * x + 0.5 * (b + a)
+            ow = 0.5 * (b - a) * w
+            total = 0.0
+            for u, wu in zip(ou, ow):
+                lo, hi = gfun(u), hfun(u)
+                iv = 0.5 * (hi - lo) * x + 0.5 * (hi + lo)
+                iw = 0.5 * (hi - lo) * w
+                total += wu * sum(
+                    wv * func(v, u) for v, wv in zip(iv, iw)
+                )
+            return total, 0.0
 
         integrate.dblquad = _dblquad
         scipy.integrate = integrate

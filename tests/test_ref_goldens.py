@@ -55,6 +55,26 @@ def test_linetrace_golden_matches_kernel():
     assert krows == g["rows"]
 
 
+def test_polyfill_golden_matches_kernel():
+    g = _goldens()["polyfill"]
+    poly = [tuple(p) for p in g["polygon"]]
+    kcells = KR.polyfill(WGS84_003, [(poly, [])], g["res"], plane=False)
+    assert sorted(kcells) == g["cells"]
+
+
+def test_kring_golden_matches_kernel():
+    import hashlib
+
+    from rhealpixdggs_spark.kernel import neighbors as KN
+
+    g = _goldens()["kring_sizes"]
+    for suid, n, md5 in g["rows"]:
+        disk = KN.k_ring(WGS84_003, suid, g["k"])
+        members = sorted(set(disk))
+        assert len(members) == n
+        assert hashlib.md5(",".join(members).encode()).hexdigest() == md5
+
+
 def test_zone_golden_matches_kernel():
     g = _goldens()["zone_from_poly"]
     poly = [tuple(p) for p in g["polygon"]]

@@ -14,6 +14,12 @@ The reference library at /root/reference is executed, not copied:
 - zone_from_poly: `conversion.CellZoneFromPoly` (conversion.py:40-111)
   runs once per res-0 face as bounding cell (the geometry spans two
   faces, so no single bounding cell exists) on the euro-ring polygon.
+- polyfill: `rhp_wrappers.polyfill` (rhp_wrappers.py:510-599) runs
+  verbatim on the euro ring (centroid-inside rule; dart/skew
+  centroids via the Gauss-Legendre dblquad stand-in).
+- kring_sizes: `rhp_wrappers.k_ring` (rhp_wrappers.py:471-507) runs
+  verbatim for EVERY res-2 cell at k=2 — all 486 disks, covering
+  every cube-edge and cube-corner crossing configuration.
 
 cells_from_line and CellZoneFromPoly need a tiny subset of shapely
 (absent in this sandbox); tests/ref_oracle.py provides minimal
@@ -50,6 +56,8 @@ EURO_RING = [(-10.0, 36.0), (25.0, 34.0), (30.0, 58.0), (-8.0, 60.0)]
 COVER_UL, COVER_DR, COVER_RES = (-10.0, 60.0), (30.0, 34.0), 3
 ZONE_RES_LIMIT = 3
 LINE_RES, N_LINES = 3, 40
+POLYFILL_RES = 3
+KRING_RES, KRING_K = 2, 2
 
 
 def line_fleet() -> list[tuple[int, list[tuple[float, float]]]]:
@@ -127,6 +135,43 @@ def gen_zone(ref) -> list[str]:
     return sorted(cells)
 
 
+def gen_polyfill(ref) -> list[str]:
+    import rhealpixdggs.rhp_wrappers as rw
+
+    geometry = sys.modules["shapely.geometry"].Polygon(EURO_RING)
+    cells = rw.polyfill(
+        geometry, POLYFILL_RES, plane=False, verbose=False, dggs=ref.dggs.WGS84_003
+    )
+    kcells = KR.polyfill(WGS84_003, [(EURO_RING, [])], POLYFILL_RES, plane=False)
+    assert cells == kcells, "polyfill: reference != kernel"
+    return sorted(cells)
+
+
+def gen_kring(ref) -> list[list]:
+    import rhealpixdggs.rhp_wrappers as rw
+
+    from rhealpixdggs_spark.kernel import neighbors as KN
+    from rhealpixdggs_spark.kernel.constants import CELLS0
+
+    import hashlib
+
+    rows = []
+    digits = [str(i) for i in range(9)]
+    for face in CELLS0:
+        for d0 in digits:
+            for d1 in digits:
+                suid = face + d0 + d1
+                ref_disk = rw.k_ring(
+                    suid, k=KRING_K, verbose=False, dggs=ref.dggs.WGS84_003
+                )
+                kdisk = KN.k_ring(WGS84_003, suid, KRING_K)
+                assert ref_disk == kdisk, f"k_ring({suid}): reference != kernel"
+                members = sorted(set(ref_disk))
+                md5 = hashlib.md5(",".join(members).encode()).hexdigest()
+                rows.append([suid, len(members), md5])
+    return rows
+
+
 def main() -> None:
     ref = load_reference()
     if ref is None:
@@ -155,6 +200,16 @@ def main() -> None:
             "polygon": [list(p) for p in EURO_RING],
             "cells": gen_zone(ref),
         },
+        "polyfill": {
+            "res": POLYFILL_RES,
+            "polygon": [list(p) for p in EURO_RING],
+            "cells": gen_polyfill(ref),
+        },
+        "kring_sizes": {
+            "res": KRING_RES,
+            "k": KRING_K,
+            "rows": gen_kring(ref),
+        },
     }
     path = os.path.join(DATA_DIR, "ref_goldens.json")
     with open(path, "w") as f:
@@ -162,7 +217,9 @@ def main() -> None:
     print(
         f"wrote {path}: cover={len(out['region_cover']['rows'])} rows, "
         f"linetrace={len(out['linetrace_many']['rows'])} rows, "
-        f"zone={len(out['zone_from_poly']['cells'])} cells"
+        f"zone={len(out['zone_from_poly']['cells'])} cells, "
+        f"polyfill={len(out['polyfill']['cells'])} cells, "
+        f"kring={len(out['kring_sizes']['rows'])} disks"
     )
 
 
