@@ -244,6 +244,22 @@ def _q_knn_rings(spark, sf_dir):
     return out.select("query_id", "pid", F.col("rank").alias("rnk"))
 
 
+def _q_neighbors_all(spark, sf_dir):
+    """Full ellipsoidal neighbor relabel of EVERY res-2 cell — all
+    486, including the cap (longitude-sorted), dart and skew-quad
+    relabel branches the SQL-rederivation `neighbors` query cannot
+    reach (cell.py:1347-1446). The oracle is the REFERENCE EXECUTED
+    per cell (Cell.neighbors(plane=False)), vendored by
+    tools/gen_reference_goldens.py."""
+    from rhealpixdggs_spark.functions.udfs import rhp_neighbors
+    from rhealpixdggs_spark.operators.tiling import grid
+
+    nbs = rhp_neighbors(F.col("cell_id"), plane=False)
+    return grid(spark, 2).select(
+        "cell_id", F.explode(nbs).alias("direction", "neighbor_id")
+    )
+
+
 def _q_kring_sizes(spark, sf_dir):
     """k=2 disk of EVERY res-2 cell — all 486, covering every
     cube-edge and cube-corner crossing configuration of the general
@@ -1732,19 +1748,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     linetrace), the corpus-curation family (span_dedup, source_rollup,
     repetition_signals, corpus_sample, curation_pipeline,
     pii_redaction, dedup_components, near_dedup_keep, doc_chunks,
-    decontamination), AND the five reference-EXECUTED goldens that
-    were rows-only until round 3 (region_cover, zone_from_poly,
-    linetrace_many, polyfill, kring_sizes;
-    tools/gen_reference_goldens.py) — rotating OUT twenty-four
-    queries hash-green in BOTH prior rounds or in r02 (knn_brute,
+    decontamination), AND the six reference-EXECUTED goldens new or
+    rows-only until round 3 (region_cover, zone_from_poly,
+    linetrace_many, polyfill, kring_sizes, plus the new
+    neighbors_all — the full cap/dart/skew ellipsoidal relabel of
+    every res-2 cell; tools/gen_reference_goldens.py) — rotating OUT
+    twenty-five queries hash-green in BOTH prior rounds or in r02
+    (knn_brute,
     cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
     knn_rings, hierarchy_ops, containment_packed, interval_scan,
     cell_nucleus, cell_xy_range, revenue_by_nation,
     tpch_shipping_priority, value_quantiles, sessionize,
     streaming_window, frame_sample, multimodal_features,
-    cell_boundary_quads, and — for the reference-executed five —
+    cell_boundary_quads, and — for the reference-executed six —
     encode_points_res9, parent_rollup, containment_join,
-    cell_from_region, grid_res3, each green in r01 AND r02), so
+    cell_from_region, grid_res3, knn_adaptive, each green in r01 AND
+    r02), so
     after this round EVERY oracle-backed query has driver-green
     evidence on record. The tail (oracle-backed overflow + the three
     intentionally rows-only queries) stays covered by the local
@@ -1760,7 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_geo_counts": _q_streaming_geo_counts,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "neighbors": _q_neighbors,
-        "knn_adaptive": _q_knn_adaptive,
+        "neighbors_all": _q_neighbors_all,
         "asof_attribution": _q_asof_attribution,
         "ivf_topk": _q_ivf_topk,
         "decontamination": _q_decontamination,
@@ -1810,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join": _q_containment_join,
         "cell_from_region": _q_cell_from_region,
         "grid_res3": _q_grid_res3,
+        "knn_adaptive": _q_knn_adaptive,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2462,6 +2482,15 @@ def _polyfill_oracle_sql():
     )
 
 
+def _neighbors_all_oracle_sql():
+    rows = _ref_goldens()["neighbors_all"]["rows"]
+    vals = ", ".join(f"('{s}', '{d}', '{n}')" for s, d, n in rows)
+    return (
+        f"SELECT cell_id, direction, neighbor_id "
+        f"FROM (VALUES {vals}) t(cell_id, direction, neighbor_id)"
+    )
+
+
 def _kring_sizes_oracle_sql():
     rows = _ref_goldens()["kring_sizes"]["rows"]
     vals = ", ".join(f"('{s}', {n}, '{h}')" for s, n, h in rows)
@@ -2933,6 +2962,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_from_poly": _zone_from_poly_oracle_sql(),
         "polyfill": _polyfill_oracle_sql(),
         "kring_sizes": _kring_sizes_oracle_sql(),
+        "neighbors_all": _neighbors_all_oracle_sql(),
         "streaming_geo_counts": f"""
             WITH enc AS MATERIALIZED ({enc3})
             SELECT cell_id, count(*) AS n FROM enc GROUP BY cell_id

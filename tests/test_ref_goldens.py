@@ -75,6 +75,23 @@ def test_kring_golden_matches_kernel():
         assert hashlib.md5(",".join(members).encode()).hexdigest() == md5
 
 
+def test_neighbors_golden_matches_kernel():
+    import numpy as np
+
+    from rhealpixdggs_spark.kernel import neighbors as KN
+    from rhealpixdggs_spark.kernel.cells import parse_suids
+
+    g = _goldens()["neighbors_all"]
+    by_cell = {}
+    for suid, direction, nb in g["rows"]:
+        by_cell.setdefault(suid, {})[direction] = nb
+    suids = sorted(by_cell)
+    f, d = parse_suids(np.array(suids))
+    kdicts = KN.neighbors_ellipsoidal(WGS84_003, f, d)
+    for suid, kd in zip(suids, kdicts):
+        assert kd == by_cell[suid]
+
+
 def test_zone_golden_matches_kernel():
     g = _goldens()["zone_from_poly"]
     poly = [tuple(p) for p in g["polygon"]]

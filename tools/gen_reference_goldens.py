@@ -20,6 +20,11 @@ The reference library at /root/reference is executed, not copied:
 - kring_sizes: `rhp_wrappers.k_ring` (rhp_wrappers.py:471-507) runs
   verbatim for EVERY res-2 cell at k=2 — all 486 disks, covering
   every cube-edge and cube-corner crossing configuration.
+- neighbors_all: `Cell.neighbors(plane=False)` (cell.py:1347-1446)
+  runs verbatim for EVERY res-2 cell — the full ellipsoidal relabel
+  including cap (longitude-sorted), dart and skew-quad cases, not
+  just the equatorial quads the SQL-rederivation `neighbors` query
+  covers.
 
 cells_from_line and CellZoneFromPoly need a tiny subset of shapely
 (absent in this sandbox); tests/ref_oracle.py provides minimal
@@ -172,6 +177,29 @@ def gen_kring(ref) -> list[list]:
     return rows
 
 
+def gen_neighbors(ref) -> list[list]:
+    import numpy as np
+
+    from rhealpixdggs_spark.kernel import neighbors as KN
+    from rhealpixdggs_spark.kernel.cells import parse_suids
+    from rhealpixdggs_spark.kernel.constants import CELLS0
+
+    rdggs = ref.dggs.WGS84_003
+    digits = [str(i) for i in range(9)]
+    suids = [f + a + b for f in CELLS0 for a in digits for b in digits]
+    f, d = parse_suids(np.array(suids))
+    kdicts = KN.neighbors_ellipsoidal(WGS84_003, f, d)
+    rows = []
+    for suid, kd in zip(suids, kdicts):
+        cell = ref.cell.Cell(
+            rdggs=rdggs, suid=(suid[0],) + tuple(int(x) for x in suid[1:])
+        )
+        rd = {k: str(v) for k, v in cell.neighbors(plane=False).items()}
+        assert rd == kd, f"neighbors({suid}): reference != kernel"
+        rows.extend([suid, k, rd[k]] for k in sorted(rd))
+    return rows
+
+
 def main() -> None:
     ref = load_reference()
     if ref is None:
@@ -210,6 +238,10 @@ def main() -> None:
             "k": KRING_K,
             "rows": gen_kring(ref),
         },
+        "neighbors_all": {
+            "res": 2,
+            "rows": gen_neighbors(ref),
+        },
     }
     path = os.path.join(DATA_DIR, "ref_goldens.json")
     with open(path, "w") as f:
@@ -219,7 +251,8 @@ def main() -> None:
         f"linetrace={len(out['linetrace_many']['rows'])} rows, "
         f"zone={len(out['zone_from_poly']['cells'])} cells, "
         f"polyfill={len(out['polyfill']['cells'])} cells, "
-        f"kring={len(out['kring_sizes']['rows'])} disks"
+        f"kring={len(out['kring_sizes']['rows'])} disks, "
+        f"neighbors={len(out['neighbors_all']['rows'])} rows"
     )
 
 
