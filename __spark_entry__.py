@@ -244,6 +244,46 @@ def _q_knn_rings(spark, sf_dir):
     return out.select("query_id", "pid", F.col("rank").alias("rnk"))
 
 
+def _q_decode_all(spark, sf_dir):
+    """Full ellipsoidal decode of EVERY res-2 cell: nucleus + the
+    4-vertex boundary ring, including the cap/dart/skew vertex
+    geometry the quad-only SQL oracles (cell_nucleus,
+    cell_boundary_quads) cannot reach. The oracle is the REFERENCE
+    EXECUTED per cell (Cell.nucleus / Cell.vertices, plane=False),
+    vendored by tools/gen_reference_goldens.py; both sides round
+    HALF_UP to 9 decimals and normalize -0.0."""
+    from rhealpixdggs_spark.functions.udfs import rhp_boundary, rhp_nucleus
+    from rhealpixdggs_spark.operators.tiling import grid
+
+    nuc = rhp_nucleus(F.col("cell_id"))
+    b = rhp_boundary(F.col("cell_id"))
+    pts = F.array(
+        F.struct(
+            F.lit("nucleus").alias("kind"),
+            nuc["lon"].alias("lon"),
+            nuc["lat"].alias("lat"),
+        ),
+        *[
+            F.struct(
+                F.lit(f"v{i}").alias("kind"),
+                b[i]["lon"].alias("lon"),
+                b[i]["lat"].alias("lat"),
+            )
+            for i in range(4)
+        ],
+    )
+    return (
+        grid(spark, 2)
+        .select("cell_id", F.explode(pts).alias("p"))
+        .select(
+            "cell_id",
+            F.col("p.kind").alias("kind"),
+            _pz(F.round(F.col("p.lon"), 9)).alias("lon"),
+            _pz(F.round(F.col("p.lat"), 9)).alias("lat"),
+        )
+    )
+
+
 def _q_neighbors_all(spark, sf_dir):
     """Full ellipsoidal neighbor relabel of EVERY res-2 cell — all
     486, including the cap (longitude-sorted), dart and skew-quad
@@ -1748,22 +1788,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     linetrace), the corpus-curation family (span_dedup, source_rollup,
     repetition_signals, corpus_sample, curation_pipeline,
     pii_redaction, dedup_components, near_dedup_keep, doc_chunks,
-    decontamination), AND the six reference-EXECUTED goldens new or
+    decontamination), AND the seven reference-EXECUTED goldens new or
     rows-only until round 3 (region_cover, zone_from_poly,
-    linetrace_many, polyfill, kring_sizes, plus the new
-    neighbors_all — the full cap/dart/skew ellipsoidal relabel of
-    every res-2 cell; tools/gen_reference_goldens.py) — rotating OUT
-    twenty-five queries hash-green in BOTH prior rounds or in r02
-    (knn_brute,
+    linetrace_many, polyfill, kring_sizes, plus the new neighbors_all
+    and decode_all — the full cap/dart/skew ellipsoidal relabel and
+    decode of every res-2 cell; tools/gen_reference_goldens.py) —
+    rotating OUT twenty-six queries hash-green in BOTH prior rounds
+    or in r02 (knn_brute,
     cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
     knn_rings, hierarchy_ops, containment_packed, interval_scan,
     cell_nucleus, cell_xy_range, revenue_by_nation,
     tpch_shipping_priority, value_quantiles, sessionize,
     streaming_window, frame_sample, multimodal_features,
-    cell_boundary_quads, and — for the reference-executed six —
+    cell_boundary_quads, and — for the reference-executed seven —
     encode_points_res9, parent_rollup, containment_join,
-    cell_from_region, grid_res3, knn_adaptive, each green in r01 AND
-    r02), so
+    cell_from_region, grid_res3, knn_adaptive, cell_centroid_quads,
+    each green in r01 AND r02), so
     after this round EVERY oracle-backed query has driver-green
     evidence on record. The tail (oracle-backed overflow + the three
     intentionally rows-only queries) stays covered by the local
@@ -1783,7 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q_asof_attribution,
         "ivf_topk": _q_ivf_topk,
         "decontamination": _q_decontamination,
-        "cell_centroid_quads": _q_cell_centroid_quads,
+        "decode_all": _q_decode_all,
         "linetrace": _q_linetrace,
         "subcells": _q_subcells,
         "compress_cells": _q_compress_cells,
@@ -1830,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_from_region": _q_cell_from_region,
         "grid_res3": _q_grid_res3,
         "knn_adaptive": _q_knn_adaptive,
+        "cell_centroid_quads": _q_cell_centroid_quads,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2482,6 +2523,18 @@ def _polyfill_oracle_sql():
     )
 
 
+def _decode_all_oracle_sql():
+    rows = _ref_goldens()["decode_all"]["rows"]
+    vals = ", ".join(
+        f"('{s}', '{k}', CAST({lon!r} AS DOUBLE), CAST({lat!r} AS DOUBLE))"
+        for s, k, lon, lat in rows
+    )
+    return (
+        f"SELECT cell_id, kind, lon, lat "
+        f"FROM (VALUES {vals}) t(cell_id, kind, lon, lat)"
+    )
+
+
 def _neighbors_all_oracle_sql():
     rows = _ref_goldens()["neighbors_all"]["rows"]
     vals = ", ".join(f"('{s}', '{d}', '{n}')" for s, d, n in rows)
@@ -2963,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
         "polyfill": _polyfill_oracle_sql(),
         "kring_sizes": _kring_sizes_oracle_sql(),
         "neighbors_all": _neighbors_all_oracle_sql(),
+        "decode_all": _decode_all_oracle_sql(),
         "streaming_geo_counts": f"""
             WITH enc AS MATERIALIZED ({enc3})
             SELECT cell_id, count(*) AS n FROM enc GROUP BY cell_id

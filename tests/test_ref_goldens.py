@@ -92,6 +92,28 @@ def test_neighbors_golden_matches_kernel():
         assert kd == by_cell[suid]
 
 
+def test_decode_golden_matches_kernel():
+    import numpy as np
+
+    from rhealpixdggs_spark.kernel import cells as KC
+
+    gen = _gen_module()
+    g = _goldens()["decode_all"]
+    by_cell = {}
+    for suid, kind, lon, lat in g["rows"]:
+        by_cell.setdefault(suid, {})[kind] = (lon, lat)
+    suids = sorted(by_cell)
+    f, d = KC.parse_suids(np.array(suids))
+    klon, klat = KC.nucleus(WGS84_003, f, d, plane=False)
+    krings = np.asarray(KC.vertices(WGS84_003, f, d, plane=False))
+    for i, suid in enumerate(suids):
+        exp = by_cell[suid]
+        assert (gen._round9(klon[i]), gen._round9(klat[i])) == exp["nucleus"]
+        for j in range(4):
+            got = (gen._round9(krings[i][j][0]), gen._round9(krings[i][j][1]))
+            assert got == exp[f"v{j}"]
+
+
 def test_zone_golden_matches_kernel():
     g = _goldens()["zone_from_poly"]
     poly = [tuple(p) for p in g["polygon"]]

@@ -25,6 +25,12 @@ The reference library at /root/reference is executed, not copied:
   including cap (longitude-sorted), dart and skew-quad cases, not
   just the equatorial quads the SQL-rederivation `neighbors` query
   covers.
+- decode_all: `Cell.nucleus(plane=False)` + `Cell.vertices(
+  plane=False)` (cell.py:655-721, 988-1038) run verbatim for EVERY
+  res-2 cell — the full ellipsoidal decode including cap/dart/skew
+  vertex geometry; values pre-rounded with the same HALF_UP decimal
+  rounding Spark's round() applies, -0.0 normalized to +0.0 on both
+  sides.
 
 cells_from_line and CellZoneFromPoly need a tiny subset of shapely
 (absent in this sandbox); tests/ref_oracle.py provides minimal
@@ -200,6 +206,52 @@ def gen_neighbors(ref) -> list[list]:
     return rows
 
 
+def _round9(v) -> float:
+    """Match Spark round(col, 9): HALF_UP on the shortest decimal
+    repr of the double (BigDecimal.valueOf semantics), then
+    normalize -0.0 to +0.0 (the engine's _pz)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    f = float(
+        Decimal(repr(float(v))).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP
+        )
+    )
+    return 0.0 if f == 0.0 else f
+
+
+def gen_decode(ref) -> list[list]:
+    import numpy as np
+
+    from rhealpixdggs_spark.kernel import cells as KCells
+    from rhealpixdggs_spark.kernel.constants import CELLS0
+
+    rdggs = ref.dggs.WGS84_003
+    digits = [str(i) for i in range(9)]
+    suids = [f + a + b for f in CELLS0 for a in digits for b in digits]
+    farr, darr = KCells.parse_suids(np.array(suids))
+    klon, klat = KCells.nucleus(WGS84_003, farr, darr, plane=False)
+    krings = np.asarray(KCells.vertices(WGS84_003, farr, darr, plane=False))
+    rows = []
+    for i, suid in enumerate(suids):
+        cell = ref.cell.Cell(
+            rdggs=rdggs, suid=(suid[0],) + tuple(int(x) for x in suid[1:])
+        )
+        rn = cell.nucleus(plane=False)
+        rverts = list(cell.vertices(plane=False))
+        pts = [("nucleus", rn)] + [(f"v{j}", v) for j, v in enumerate(rverts)]
+        kpts = [("nucleus", (klon[i], klat[i]))] + [
+            (f"v{j}", krings[i][j]) for j in range(krings.shape[1])
+        ]
+        assert len(pts) == len(kpts), f"decode({suid}): vertex count differs"
+        for (kind, rp), (_, kp) in zip(pts, kpts):
+            r = (_round9(rp[0]), _round9(rp[1]))
+            kq = (_round9(kp[0]), _round9(kp[1]))
+            assert r == kq, f"decode({suid},{kind}): ref {r} != kernel {kq}"
+            rows.append([suid, kind, r[0], r[1]])
+    return rows
+
+
 def main() -> None:
     ref = load_reference()
     if ref is None:
@@ -242,6 +294,10 @@ def main() -> None:
             "res": 2,
             "rows": gen_neighbors(ref),
         },
+        "decode_all": {
+            "res": 2,
+            "rows": gen_decode(ref),
+        },
     }
     path = os.path.join(DATA_DIR, "ref_goldens.json")
     with open(path, "w") as f:
@@ -252,7 +308,8 @@ def main() -> None:
         f"zone={len(out['zone_from_poly']['cells'])} cells, "
         f"polyfill={len(out['polyfill']['cells'])} cells, "
         f"kring={len(out['kring_sizes']['rows'])} disks, "
-        f"neighbors={len(out['neighbors_all']['rows'])} rows"
+        f"neighbors={len(out['neighbors_all']['rows'])} rows, "
+        f"decode={len(out['decode_all']['rows'])} rows"
     )
 
 
