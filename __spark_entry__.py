@@ -1250,6 +1250,21 @@ def _q_polyfill(spark, sf_dir):
     return polyfill_df(spark, {"euro": [(EURO_RING, [])]}, res=3, plane=False)
 
 
+def _q_polyfill_dateline(spark, sf_dir):
+    """Dateline-crossing polyfill — the antimeridian limitation the
+    reference leaves open (rhp_wrappers.py:546) lifted via
+    kernel regions.split_antimeridian + polyfill_df(split_dateline=
+    True). The oracle is the REFERENCE EXECUTED on the two manually
+    split halves of the same ring (union), vendored by
+    tools/gen_reference_goldens.py."""
+    from rhealpixdggs_spark.operators.tiling import polyfill_df
+
+    ring = [(170.0, 10.0), (-170.0, 10.0), (-170.0, 25.0), (170.0, 25.0)]
+    return polyfill_df(
+        spark, {"fiji": [(ring, [])]}, res=3, plane=False, split_dateline=True
+    )
+
+
 def _q_polyfill_eq(spark, sf_dir):
     """Distributed polyfill of an equatorial polygon-with-hole under
     the full SQL gate: candidate lattice, quad centroid decode and
@@ -1792,18 +1807,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only until round 3 (region_cover, zone_from_poly,
     linetrace_many, polyfill, kring_sizes, plus the new neighbors_all
     and decode_all — the full cap/dart/skew ellipsoidal relabel and
-    decode of every res-2 cell; tools/gen_reference_goldens.py) —
-    rotating OUT twenty-six queries hash-green in BOTH prior rounds
+    decode of every res-2 cell — and polyfill_dateline — the
+    antimeridian limitation lifted, gated against the reference run
+    on the manually split halves; tools/gen_reference_goldens.py) —
+    rotating OUT twenty-seven queries hash-green in BOTH prior rounds
     or in r02 (knn_brute,
     cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
     knn_rings, hierarchy_ops, containment_packed, interval_scan,
     cell_nucleus, cell_xy_range, revenue_by_nation,
     tpch_shipping_priority, value_quantiles, sessionize,
     streaming_window, frame_sample, multimodal_features,
-    cell_boundary_quads, and — for the reference-executed seven —
+    cell_boundary_quads, and — for the reference-executed eight —
     encode_points_res9, parent_rollup, containment_join,
     cell_from_region, grid_res3, knn_adaptive, cell_centroid_quads,
-    each green in r01 AND r02), so
+    minimal_cover, each green in r01 AND r02), so
     after this round EVERY oracle-backed query has driver-green
     evidence on record. The tail (oracle-backed overflow + the three
     intentionally rows-only queries) stays covered by the local
@@ -1828,7 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subcells": _q_subcells,
         "compress_cells": _q_compress_cells,
         "polyfill": _q_polyfill,
-        "minimal_cover": _q_minimal_cover,
+        "polyfill_dateline": _q_polyfill_dateline,
         "salted_cell_agg": _q_salted_cell_agg,
         "kring_sizes": _q_kring_sizes,
         "source_rollup": _q_source_rollup,
@@ -1871,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_res3": _q_grid_res3,
         "knn_adaptive": _q_knn_adaptive,
         "cell_centroid_quads": _q_cell_centroid_quads,
+        "minimal_cover": _q_minimal_cover,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2544,6 +2562,15 @@ def _neighbors_all_oracle_sql():
     )
 
 
+def _polyfill_dateline_oracle_sql():
+    g = _ref_goldens()["polyfill_dateline"]
+    vals = ", ".join(f"('{c}')" for c in g["cells"])
+    return (
+        f"SELECT tile_id, CAST(length(tile_id) - 1 AS INT) AS res, "
+        f"'fiji' AS zone FROM (VALUES {vals}) t(tile_id)"
+    )
+
+
 def _kring_sizes_oracle_sql():
     rows = _ref_goldens()["kring_sizes"]["rows"]
     vals = ", ".join(f"('{s}', {n}, '{h}')" for s, n, h in rows)
@@ -3017,6 +3044,7 @@ def oracle_sql() -> dict[str, str]:
         "kring_sizes": _kring_sizes_oracle_sql(),
         "neighbors_all": _neighbors_all_oracle_sql(),
         "decode_all": _decode_all_oracle_sql(),
+        "polyfill_dateline": _polyfill_dateline_oracle_sql(),
         "streaming_geo_counts": f"""
             WITH enc AS MATERIALIZED ({enc3})
             SELECT cell_id, count(*) AS n FROM enc GROUP BY cell_id

@@ -472,6 +472,106 @@ def antimeridian_check_and_flip(cfg, verts, plane=True):
     return [((-lng if lng == check else lng), lat) for lng, lat in verts]
 
 
+def _clip_ring_halfplane(ring, seam: float, keep_le: bool) -> list:
+    """Sutherland-Hodgman clip of one ring against the vertical line
+    lon == seam (keep lon <= seam, or lon >= seam)."""
+
+    def inside(p):
+        return p[0] <= seam if keep_le else p[0] >= seam
+
+    def isect(a, b):
+        t = (seam - a[0]) / (b[0] - a[0])
+        return (seam, a[1] + t * (b[1] - a[1]))
+
+    out: list = []
+    n = len(ring)
+    for i in range(n):
+        cur, prev = ring[i], ring[i - 1]
+        if inside(cur):
+            if not inside(prev):
+                out.append(isect(prev, cur))
+            out.append(tuple(cur))
+        elif inside(prev):
+            out.append(isect(prev, cur))
+    return out
+
+
+def split_antimeridian(polygons, radians: bool = False) -> list:
+    """Normalize dateline-crossing polygons into polygons that stay
+    within [-180, 180] — the preprocessing that lifts the documented
+    antimeridian limitation shared by the reference
+    (rhp_wrappers.py:546 'TODO: decide what to do with the
+    antimeridian', dggs.py:1107-1114) and this engine's polyfill /
+    zone operators.
+
+    ``polygons`` is the engine's list of (exterior_ring, holes) pairs
+    where consecutive vertices never jump more than half the globe
+    (the standard 'unwrap' convention: a ring crossing the dateline is
+    given with longitudes continuing past +/-180, OR with raw jumps
+    > 180 deg that are unwrapped here). Each crossing polygon is cut
+    at the seam into a west part and an east part (holes are clipped
+    with the same seam and attached to both sides; empty clips drop
+    out); non-crossing polygons pass through with longitudes shifted
+    back into range. Polygons spanning more than a full revolution
+    are rejected."""
+    half = np.pi if radians else 180.0
+    out = []
+    for exterior, holes in polygons:
+
+        def unwrap(ring):
+            lons = np.asarray([p[0] for p in ring], dtype=np.float64)
+            lats = [p[1] for p in ring]
+            for i in range(1, len(lons)):
+                while lons[i] - lons[i - 1] > half:
+                    lons[i] -= 2 * half
+                while lons[i] - lons[i - 1] < -half:
+                    lons[i] += 2 * half
+            return list(zip(lons.tolist(), lats))
+
+        ext = unwrap(exterior)
+        lo = min(p[0] for p in ext)
+        hi = max(p[0] for p in ext)
+        if hi - lo > 2 * half:
+            raise ValueError("polygon spans more than a full revolution")
+        # Odd multiples of 180 inside (lo, hi) are the seams.
+        k_lo = int(np.ceil((lo / half - 1) / 2))
+        k_hi = int(np.floor((hi / half - 1) / 2))
+        seams = [(2 * k + 1) * half for k in range(k_lo, k_hi + 1) if lo < (2 * k + 1) * half < hi]
+        if not seams:
+            # No crossing: shift the whole polygon back into range.
+            shift = -2 * half * round((lo + hi) / (4 * half))
+            out.append(
+                (
+                    [(x + shift, y) for x, y in ext],
+                    [[(x + shift, y) for x, y in unwrap(h)] for h in holes],
+                )
+            )
+            continue
+        if len(seams) > 1:
+            raise ValueError("polygon crosses more than one seam")
+        seam = seams[0]
+        uholes = [unwrap(h) for h in holes]
+        for keep_le in (True, False):
+            cext = _clip_ring_halfplane(ext, seam, keep_le)
+            if len(cext) < 3:
+                continue
+            chs = [
+                c
+                for c in (_clip_ring_halfplane(h, seam, keep_le) for h in uholes)
+                if len(c) >= 3
+            ]
+            side_lo = min(p[0] for p in cext)
+            side_hi = max(p[0] for p in cext)
+            shift = -2 * half * round((side_lo + side_hi) / (4 * half))
+            out.append(
+                (
+                    [(x + shift, y) for x, y in cext],
+                    [[(x + shift, y) for x, y in h] for h in chs],
+                )
+            )
+    return out
+
+
 def cells_from_line(cfg: DggsConfig, resolution: int, lstart, lend, plane=True) -> list[str]:
     """Neighbor-walk along a segment (dggs.py:1096-1179). Carries the
     reference's documented limitations: no antimeridian crossing, cap

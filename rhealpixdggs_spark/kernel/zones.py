@@ -90,22 +90,57 @@ class _Geometry:
         if any(_proper_crossings(r, ring) for r in self.rings()):
             return True
         if not inside.any():
-            for ext, holes in self.polys:
-                if points_in_polygon(ext[:, 0], ext[:, 1], ring).any():
-                    # Geometry vertex pokes into the cell.
-                    if not points_in_polygon(ext[:, 0], ext[:, 1], ring).all():
-                        return True
-                    # Whole geometry inside the cell: interiors
-                    # intersect but B contains A -> shapely overlaps
-                    # is False (and contains handled it upstream).
+            gins = [
+                points_in_polygon(ext[:, 0], ext[:, 1], ring)
+                for ext, _holes in self.polys
+            ]
+            # Interiors intersect iff some geometry vertex is in the
+            # cell; shapely overlaps is False only when the cell
+            # contains the ENTIRE (multi)geometry — every part's
+            # vertices inside. One part wholly inside the cell with
+            # another part elsewhere IS an overlap (dateline-split
+            # geometries hit this).
+            if any(g.any() for g in gins) and not all(g.all() for g in gins):
+                return True
             return False
         # All ring vertices inside with no crossing -> A contains B.
         return False
 
 
+def _unwrap_rings(rings: np.ndarray, half: float) -> np.ndarray:
+    """Make each ring's longitudes continuous (consecutive deltas
+    within +/-half). Cells in the seam column decode their east edge
+    as -180 where +180 is meant (wrap_longitude), which inverts the
+    ring for every planar predicate; unwrapping restores the true
+    shape (possibly extending past +/-180 — see _ring_variants)."""
+    rings = np.array(rings, dtype=np.float64)
+    lon = rings[..., 0]
+    d = np.diff(lon, axis=-1)
+    step = np.where(d > half, -2 * half, np.where(d < -half, 2 * half, 0.0))
+    lon[..., 1:] += np.cumsum(step, axis=-1)
+    return rings
+
+
+def _ring_variants(ring: np.ndarray, half: float):
+    """The ring plus, for seam-spanning rings that extend past
+    +/-half after unwrapping, its 360-degree-shifted copy — a
+    predicate against geometry in [-180, 180] must hold for EITHER
+    representation (they are a full revolution apart, so at most one
+    can intersect the geometry)."""
+    out = [ring]
+    if ring[:, 0].max() > half:
+        out.append(ring - np.array([2 * half, 0.0]))
+    if ring[:, 0].min() < -half:
+        out.append(ring + np.array([2 * half, 0.0]))
+    return out
+
+
 def _cell_ring_ellipsoidal(cfg: DggsConfig, suid: str) -> np.ndarray:
     f, d = parse_suids(np.array([suid]))
-    return np.asarray(vertices(cfg, f, d, plane=False)[0])
+    half = np.pi if cfg.radians else 180.0
+    return _unwrap_rings(
+        np.asarray(vertices(cfg, f, d, plane=False)), half
+    )[0]
 
 
 def _points_in_rings_batch(px, py, rings: np.ndarray) -> np.ndarray:
@@ -164,22 +199,47 @@ def classify_batch(cfg: DggsConfig, suids: np.ndarray, geom: _Geometry):
     if n == 0:
         z = np.zeros(0, dtype=bool)
         return z, z.copy(), z.copy()
+    half = np.pi if cfg.radians else 180.0
     f, d = parse_suids(suids)
-    rings = np.asarray(vertices(cfg, f, d, plane=False))  # (N,4,2)
-    inside = geom.contains_points(
-        rings[:, :, 0].ravel(), rings[:, :, 1].ravel()
-    ).reshape(n, 4)
-    allin = inside.all(axis=1)
-    anyin = inside.any(axis=1)
-    cross = _crossings_batch(rings, list(geom.rings()))
-    contains = allin & ~cross
-    # Disjoint-vertex case of overlaps_ring: a geometry vertex pokes
-    # into the cell (some but not all exterior vertices inside it).
-    poke = np.zeros(n, dtype=bool)
-    for ext, _holes in geom.polys:
-        gin = _points_in_rings_batch(ext[:, 0], ext[:, 1], rings)
-        poke |= gin.any(axis=1) & ~gin.all(axis=1)
-    overlaps = (anyin & ~allin) | cross | (~anyin & poke)
+    rings = _unwrap_rings(
+        np.asarray(vertices(cfg, f, d, plane=False)), half
+    )  # (N,4,2), lon-continuous (see _unwrap_rings)
+
+    def classify_rings(rg, nsub):
+        inside = geom.contains_points(
+            rg[:, :, 0].ravel(), rg[:, :, 1].ravel()
+        ).reshape(nsub, 4)
+        allin = inside.all(axis=1)
+        anyin = inside.any(axis=1)
+        cross = _crossings_batch(rg, list(geom.rings()))
+        cont = allin & ~cross
+        # Disjoint-vertex case of overlaps_ring: some geometry vertex
+        # is in the cell but the cell does not contain the ENTIRE
+        # (multi)geometry (matching the scalar predicate — one part
+        # wholly inside with another part elsewhere IS an overlap).
+        g_any = np.zeros(nsub, dtype=bool)
+        g_all = np.ones(nsub, dtype=bool)
+        for ext, _holes in geom.polys:
+            gin = _points_in_rings_batch(ext[:, 0], ext[:, 1], rg)
+            g_any |= gin.any(axis=1)
+            g_all &= gin.all(axis=1)
+        poke = g_any & ~g_all
+        return cont, (anyin & ~allin) | cross | (~anyin & poke)
+
+    contains, overlaps = classify_rings(rings, n)
+    # Seam-spanning rings (extend past +/-half after unwrap) must also
+    # be tested a full revolution away — the geometry may be given on
+    # the other side of the dateline (see _ring_variants).
+    for mask, shift in (
+        (rings[:, :, 0].max(axis=1) > half, -2 * half),
+        (rings[:, :, 0].min(axis=1) < -half, 2 * half),
+    ):
+        if mask.any():
+            r2 = rings[mask].copy()
+            r2[:, :, 0] += shift
+            c2, o2 = classify_rings(r2, int(mask.sum()))
+            contains[mask] |= c2
+            overlaps[mask] |= o2
     lo, la = nucleus(cfg, f, d, plane=False)
     nucleus_in = geom.contains_points(np.asarray(lo), np.asarray(la))
     return contains, overlaps, nucleus_in
@@ -190,15 +250,19 @@ def get_finest_containing_cell(cfg: DggsConfig, polygons) -> str | None:
     (conversion.py:7-36): recursive descent picking the first child
     whose polygon contains the geometry."""
     geom = _Geometry(polygons)
+    half = np.pi if cfg.radians else 180.0
 
-    def geom_inside_cell(suid: str) -> bool:
-        cell_ring = _cell_ring_ellipsoidal(cfg, suid)
+    def geom_inside_one(cell_ring) -> bool:
         for ext, holes in geom.polys:
             if not points_in_polygon(ext[:, 0], ext[:, 1], cell_ring).all():
                 return False
             if _proper_crossings(cell_ring, ext):
                 return False
         return True
+
+    def geom_inside_cell(suid: str) -> bool:
+        ring = _cell_ring_ellipsoidal(cfg, suid)
+        return any(geom_inside_one(v) for v in _ring_variants(ring, half))
 
     def descend(suid: str) -> str | None:
         for child in subcells(cfg, suid):
@@ -223,6 +287,14 @@ def zone_from_poly(
     (CellZoneFromPoly, conversion.py:40-111): recursive subdivision
     keeping fully-contained children, nucleus test at res_limit."""
     geom = _Geometry(polygons)
+    half = np.pi if cfg.radians else 180.0
+
+    def contains_any(ring) -> bool:
+        return any(geom.contains_ring(v) for v in _ring_variants(ring, half))
+
+    def overlaps_any(ring) -> bool:
+        return any(geom.overlaps_ring(v) for v in _ring_variants(ring, half))
+
     roots: list[str]
     if bounding_cell is None:
         bounding_cell = get_finest_containing_cell(cfg, polygons)
@@ -240,7 +312,7 @@ def zone_from_poly(
 
     def get_dggs_poly(cell: str):
         ring = _cell_ring_ellipsoidal(cfg, cell)
-        if geom.contains_ring(ring):
+        if contains_any(ring):
             out.append(cell)
             return
         if len(cell) - 1 + 1 > res_limit:
@@ -249,17 +321,17 @@ def zone_from_poly(
             if child == cell:
                 continue
             cring = _cell_ring_ellipsoidal(cfg, child)
-            if geom.contains_ring(cring):
+            if contains_any(cring):
                 out.append(child)
             elif len(child) - 1 == res_limit:
                 if nucleus_inside(child):
                     out.append(child)
             else:
-                if geom.overlaps_ring(cring):
+                if overlaps_any(cring):
                     get_dggs_poly(child)
 
     for root in roots:
         ring = _cell_ring_ellipsoidal(cfg, root)
-        if len(roots) == 1 or geom.overlaps_ring(ring) or geom.contains_ring(ring):
+        if len(roots) == 1 or overlaps_any(ring) or contains_any(ring):
             get_dggs_poly(root)
     return out

@@ -268,6 +268,11 @@ def region_cover_ell_df(
     # global columns between the corner cells' planar x (x = R*lambda).
     x_lo, _ = fwd(lam_min, 0.0)
     x_hi, _ = fwd(lam_max, 0.0)
+    if lam_max == PI:
+        # +180 wraps to -180 in the forward projection; as a region's
+        # EAST edge it means the rightmost column, not column 0 (the
+        # dateline-split west half ends exactly here).
+        x_hi = R * np.pi
     c0 = int(math.floor((x_lo + R * np.pi) / w))
     c1 = int(math.floor((x_hi + R * np.pi) / w))
     c0 = min(c0, ring_len - 1)
@@ -399,6 +404,7 @@ def polyfill_df(
     cfg: DggsConfig = WGS84_003,
     plane: bool = False,
     compress: bool = False,
+    split_dateline: bool = False,
 ) -> DataFrame:
     """Distributed polyfill (rhp_wrappers.py:510-599 semantics, same
     result set as kernel polyfill): per polygon, candidates come from
@@ -408,14 +414,19 @@ def polyfill_df(
     (points_in_polygon_col) — no driver-side cell list at any point.
     Output: (tile_id, res, zone).
 
-    Limitation (same as the reference's bbox assumption,
-    rhp_wrappers.py:510-599): polygon rings must not cross the
-    antimeridian — split dateline-wrapping rings at +/-180 into two
-    polygons of the same zone first."""
+    Dateline handling: by default, same limitation as the reference's
+    bbox assumption (rhp_wrappers.py:510-599 'TODO: decide what to do
+    with the antimeridian') — rings must not cross +/-180. Pass
+    split_dateline=True to lift it: crossing rings (given unwrapped,
+    or with raw >180-degree jumps) are cut at the seam into west/east
+    polygons of the same zone (kernel regions.split_antimeridian)
+    before candidate generation."""
     from ..functions.udfs import rhp_centroid
 
     zones = []
     for name, polys in polygons.items():
+        if split_dateline and not plane:
+            polys = KR.split_antimeridian(polys, radians=cfg.radians)
         cand = None
         for exterior, holes in polys:
             ext = np.asarray(exterior, dtype=np.float64)
@@ -458,6 +469,7 @@ def zone_from_poly_df(
     cfg: DggsConfig = WGS84_003,
     bounding_cell: str | None = None,
     checkpoint: bool = True,
+    split_dateline: bool = False,
 ) -> DataFrame:
     """Distributed CellZoneFromPoly (reference conversion.py:40-111;
     the SURVEY section 2.6 'iterative DataFrame loop res 0->limit'):
@@ -482,10 +494,16 @@ def zone_from_poly_df(
     path for a handful of low-resolution zones.
 
     Output: (cell_id string, res int), one row per zone cell, same
-    cell set as the kernel / reference recursion."""
+    cell set as the kernel / reference recursion.
+
+    split_dateline=True normalizes dateline-crossing polygons through
+    kernel regions.split_antimeridian first (the classify kernel's
+    even-odd test assumes rings within [-180, 180])."""
     from ..kernel import zones as KZ
     from ..kernel.constants import CELLS0
 
+    if split_dateline:
+        polygons = KR.split_antimeridian(polygons, radians=cfg.radians)
     geom = KZ._Geometry(polygons)
     if bounding_cell is None:
         bc = KZ.get_finest_containing_cell(cfg, polygons)

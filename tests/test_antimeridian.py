@@ -1,0 +1,136 @@
+"""Dateline-crossing polygon support (kernel splitter + operators).
+
+The reference documents the antimeridian as an open limitation
+(rhp_wrappers.py:546, dggs.py:1107-1114); split_antimeridian lifts it
+by cutting crossing rings at the seam into in-range west/east parts.
+"""
+
+import numpy as np
+import pytest
+
+from rhealpixdggs_spark.kernel import regions as KR
+from rhealpixdggs_spark.kernel.constants import WGS84_003
+
+# A quad spanning lon 170 -> 190 (raw-jump form crosses the dateline).
+CROSSING_RAW = [(170.0, 10.0), (-170.0, 10.0), (-170.0, 25.0), (170.0, 25.0)]
+CROSSING_UNWRAPPED = [(170.0, 10.0), (190.0, 10.0), (190.0, 25.0), (170.0, 25.0)]
+WEST_HALF = [(170.0, 10.0), (180.0, 10.0), (180.0, 25.0), (170.0, 25.0)]
+EAST_HALF = [(-180.0, 10.0), (-170.0, 10.0), (-170.0, 25.0), (-180.0, 25.0)]
+
+
+class TestSplitter:
+    def test_non_crossing_passthrough(self):
+        ring = [(-10.0, 0.0), (10.0, 0.0), (10.0, 20.0), (-10.0, 20.0)]
+        out = KR.split_antimeridian([(ring, [])])
+        assert out == [(ring, [])]
+
+    def test_raw_and_unwrapped_forms_agree(self):
+        a = KR.split_antimeridian([(CROSSING_RAW, [])])
+        b = KR.split_antimeridian([(CROSSING_UNWRAPPED, [])])
+        assert a == b
+        assert len(a) == 2
+
+    def test_split_parts_in_range_and_area_preserved(self):
+        parts = KR.split_antimeridian([(CROSSING_UNWRAPPED, [])])
+
+        def ring_area(ring):
+            r = list(ring) + [ring[0]]
+            return abs(
+                sum(x1 * y2 - x2 * y1 for (x1, y1), (x2, y2) in zip(r, r[1:]))
+            ) / 2.0
+
+        for ext, _holes in parts:
+            assert all(-180.0 <= x <= 180.0 for x, _ in ext)
+        assert sum(ring_area(e) for e, _ in parts) == pytest.approx(
+            ring_area(CROSSING_UNWRAPPED)
+        )
+
+    def test_membership_matches_unwrapped_frame(self):
+        parts = KR.split_antimeridian([(CROSSING_UNWRAPPED, [])])
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-180, 180, 4000)
+        lat = rng.uniform(0, 35, 4000)
+        got = np.zeros(lon.shape, dtype=bool)
+        for ext, holes in parts:
+            got |= KR.points_in_polygon(lon, lat, ext, holes)
+        # Ground truth in the unwrapped frame: shift western longitudes
+        # up by 360 and test against the original ring.
+        lon_u = np.where(lon < 0, lon + 360.0, lon)
+        exp = KR.points_in_polygon(lon_u, lat, CROSSING_UNWRAPPED, [])
+        assert (got == exp).all()
+
+    def test_hole_clipped_to_both_sides(self):
+        hole = [(175.0, 14.0), (185.0, 14.0), (185.0, 20.0), (175.0, 20.0)]
+        parts = KR.split_antimeridian([(CROSSING_UNWRAPPED, [hole])])
+        assert len(parts) == 2
+        assert all(len(holes) == 1 for _, holes in parts)
+        inside_hole = []
+        for ext, holes in parts:
+            inside_hole.append(
+                bool(KR.points_in_polygon([178.0], [17.0], ext, holes)[0])
+                or bool(KR.points_in_polygon([-178.0], [17.0], ext, holes)[0])
+            )
+        assert not any(inside_hole)
+
+    def test_full_revolution_rejected(self):
+        # Unwrapping keeps consecutive deltas <= 180, so a >360 span
+        # needs accumulated steps.
+        ring = [(0.0, 10.0), (170.0, 10.0), (340.0, 10.0), (510.0, 10.0)]
+        with pytest.raises(ValueError):
+            KR.split_antimeridian([(ring, [])])
+
+    def test_polyfill_equivalence_manual_halves(self):
+        parts = KR.split_antimeridian([(CROSSING_RAW, [])])
+        auto = KR.polyfill(WGS84_003, parts, 2, plane=False)
+        manual = KR.polyfill(
+            WGS84_003, [(WEST_HALF, []), (EAST_HALF, [])], 2, plane=False
+        )
+        assert auto == manual
+        assert auto  # non-empty: seam cells present
+
+
+@pytest.mark.usefixtures("spark")
+class TestDistributed:
+    def test_polyfill_df_split_dateline(self, spark):
+        from rhealpixdggs_spark.operators.tiling import polyfill_df
+
+        got = {
+            r.tile_id
+            for r in polyfill_df(
+                spark,
+                {"fiji": [(CROSSING_RAW, [])]},
+                res=2,
+                plane=False,
+                split_dateline=True,
+            ).collect()
+        }
+        exp = KR.polyfill(
+            WGS84_003,
+            KR.split_antimeridian([(CROSSING_RAW, [])]),
+            2,
+            plane=False,
+        )
+        assert got == exp
+
+    def test_zone_df_split_dateline(self, spark):
+        from rhealpixdggs_spark.kernel import zones as KZ
+        from rhealpixdggs_spark.operators.tiling import zone_from_poly_df
+
+        got = sorted(
+            r.cell_id
+            for r in zone_from_poly_df(
+                spark,
+                [(CROSSING_RAW, [])],
+                res_limit=2,
+                split_dateline=True,
+            ).collect()
+        )
+        exp = sorted(
+            KZ.zone_from_poly(
+                WGS84_003,
+                KR.split_antimeridian([(CROSSING_RAW, [])]),
+                2,
+            )
+        )
+        assert got == exp
+        assert got

@@ -64,6 +64,11 @@ DATA_DIR = os.path.join(REPO, "rhealpixdggs_spark", "data")
 
 # The contract queries' fixed inputs (duplicated in __spark_entry__.py).
 EURO_RING = [(-10.0, 36.0), (25.0, 34.0), (30.0, 58.0), (-8.0, 60.0)]
+# Dateline-crossing quad (raw-jump form) and its manual split halves.
+DATELINE_RING = [(170.0, 10.0), (-170.0, 10.0), (-170.0, 25.0), (170.0, 25.0)]
+DATELINE_WEST = [(170.0, 10.0), (180.0, 10.0), (180.0, 25.0), (170.0, 25.0)]
+DATELINE_EAST = [(-180.0, 10.0), (-170.0, 10.0), (-170.0, 25.0), (-180.0, 25.0)]
+DATELINE_RES = 3
 COVER_UL, COVER_DR, COVER_RES = (-10.0, 60.0), (30.0, 34.0), 3
 ZONE_RES_LIMIT = 3
 LINE_RES, N_LINES = 3, 40
@@ -183,6 +188,33 @@ def gen_kring(ref) -> list[list]:
     return rows
 
 
+def gen_polyfill_dateline(ref) -> list[str]:
+    """The dateline feature's defining semantic: polyfill of a
+    crossing ring == union of the reference's polyfill over the two
+    manually split halves (the reference itself cannot cross the
+    antimeridian — rhp_wrappers.py:546)."""
+    import rhealpixdggs.rhp_wrappers as rw
+
+    Polygon = sys.modules["shapely.geometry"].Polygon
+    cells: set = set()
+    for half_ring in (DATELINE_WEST, DATELINE_EAST):
+        cells |= rw.polyfill(
+            Polygon(half_ring),
+            DATELINE_RES,
+            plane=False,
+            verbose=False,
+            dggs=ref.dggs.WGS84_003,
+        )
+    kcells = KR.polyfill(
+        WGS84_003,
+        KR.split_antimeridian([(DATELINE_RING, [])]),
+        DATELINE_RES,
+        plane=False,
+    )
+    assert cells == kcells, "polyfill_dateline: reference != kernel+splitter"
+    return sorted(cells)
+
+
 def gen_neighbors(ref) -> list[list]:
     import numpy as np
 
@@ -297,6 +329,11 @@ def main() -> None:
         "decode_all": {
             "res": 2,
             "rows": gen_decode(ref),
+        },
+        "polyfill_dateline": {
+            "res": DATELINE_RES,
+            "polygon": [list(p) for p in DATELINE_RING],
+            "cells": gen_polyfill_dateline(ref),
         },
     }
     path = os.path.join(DATA_DIR, "ref_goldens.json")
