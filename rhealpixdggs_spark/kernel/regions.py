@@ -616,15 +616,54 @@ def cells_from_line(cfg: DggsConfig, resolution: int, lstart, lend, plane=True) 
     return trace
 
 
-def linetrace(cfg: DggsConfig, lines, res: int, plane: bool = True) -> list[str]:
+def _split_segment_dateline(a, b, half: float):
+    """Split one lon/lat segment at the dateline if it crosses
+    (raw-jump form: |dlon| > half means the short way around). Returns
+    the list of sub-segments, inner endpoints nudged 1e-9 deg inside
+    each hemisphere so they encode to the seam-adjacent cell on the
+    correct side (1e-9 deg is ~3 orders below the res-15 cell width)."""
+    dlon = b[0] - a[0]
+    if abs(dlon) <= half:
+        return [(a, b)]
+    # Unwrap b into a's frame; the seam is at +/-half between them.
+    bu = (b[0] - 2 * half, b[1]) if dlon > 0 else (b[0] + 2 * half, b[1])
+    # Both endpoints are in range, so a raw jump > half means the
+    # segment crosses the seam on a's side of the globe.
+    seam = half if a[0] > 0 else -half
+    t = (seam - a[0]) / (bu[0] - a[0])
+    lat_x = a[1] + t * (bu[1] - a[1])
+    eps = 1e-9
+    return [
+        (a, (seam - np.sign(seam) * eps, lat_x)),
+        ((-seam + np.sign(seam) * eps, lat_x), b),
+    ]
+
+
+def linetrace(
+    cfg: DggsConfig,
+    lines,
+    res: int,
+    plane: bool = True,
+    split_dateline: bool = False,
+) -> list[str]:
     """Cells touched by a (multi)linestring, sequential duplicates
     removed (rhp_wrappers.py:602-674). ``lines`` is a list of
-    coordinate lists."""
+    coordinate lists. split_dateline=True lifts the reference's
+    documented antimeridian limitation (dggs.py:1107-1114) by
+    splitting crossing segments at the seam and concatenating the two
+    walks."""
+    half = np.pi if cfg.radians else 180.0
     cells: list[str] = []
     for coords in lines:
         for i, j in zip(coords, coords[1:]):
-            seg = cells_from_line(cfg, res, i, j, plane)
-            cells.extend(seg)
+            segs = (
+                _split_segment_dateline(i, j, half)
+                if split_dateline and not plane
+                else [(i, j)]
+            )
+            for a, b in segs:
+                seg = cells_from_line(cfg, res, a, b, plane)
+                cells.extend(seg)
         out = []
         prev = None
         for c in cells:

@@ -142,12 +142,16 @@ def linetrace_df(
     cfg: DggsConfig = WGS84_003,
     line_col: str = "line",
     plane: bool = False,
+    split_dateline: bool = False,
 ) -> DataFrame:
     """Distributed linetrace (dggs.py:1096-1179 walk, parallel across
     lines): `line_col` is array<struct<lon,lat>>; output appends
     (seq, cell_id) rows per input row. Each line's neighbor walk is
     inherently sequential, so parallelism comes from the row axis —
-    the right decomposition for millions of small geometries."""
+    the right decomposition for millions of small geometries.
+    split_dateline=True splits seam-crossing segments (raw in-range
+    coordinates with a >180-degree jump) and concatenates the walks,
+    lifting the reference's documented limitation."""
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def _trace(col: pd.Series) -> pd.Series:
@@ -157,7 +161,15 @@ def linetrace_df(
                 out.append([])
                 continue
             pts = [(float(p["lon"]), float(p["lat"])) for p in coords]
-            out.append([str(c) for c in KR.linetrace(cfg, [pts], res, plane=plane)])
+            out.append(
+                [
+                    str(c)
+                    for c in KR.linetrace(
+                        cfg, [pts], res, plane=plane,
+                        split_dateline=split_dateline,
+                    )
+                ]
+            )
         return pd.Series(out, index=col.index, dtype=object)
 
     traced = lines.withColumn("_cells", _trace.asNondeterministic()(F.col(line_col)))

@@ -89,8 +89,59 @@ class TestSplitter:
         assert auto  # non-empty: seam cells present
 
 
+class TestLinetrace:
+    def test_crossing_segment_equals_manual_split(self):
+        eps = 1e-9
+        a, b = (175.0, 5.0), (-175.0, 6.0)
+        got = KR.linetrace(WGS84_003, [[a, b]], 3, plane=False, split_dateline=True)
+        west = KR.cells_from_line(WGS84_003, 3, a, (180.0 - eps, 5.5), False)
+        east = KR.cells_from_line(WGS84_003, 3, (-180.0 + eps, 5.5), b, False)
+        manual = []
+        for c in west + east:
+            if not manual or manual[-1] != c:
+                manual.append(c)
+        assert got == manual
+        assert len(got) >= 2
+        # Cells from both sides of the seam are present.
+        assert any(c.startswith("R") for c in got)  # lon 90..180
+        assert any(c.startswith("O") for c in got)  # lon -180..-90
+
+    def test_non_crossing_unchanged(self):
+        line = [[(10.0, 5.0), (20.0, 6.0)]]
+        assert KR.linetrace(
+            WGS84_003, line, 3, plane=False, split_dateline=True
+        ) == KR.linetrace(WGS84_003, line, 3, plane=False)
+
+    def test_westward_crossing(self):
+        a, b = (-175.0, -5.0), (175.0, -6.0)
+        got = KR.linetrace(WGS84_003, [[a, b]], 3, plane=False, split_dateline=True)
+        assert any(c.startswith("O") for c in got)
+        assert any(c.startswith("R") for c in got)
+
+
 @pytest.mark.usefixtures("spark")
 class TestDistributed:
+    def test_linetrace_df_split_dateline(self, spark):
+        from rhealpixdggs_spark.operators.tiling import linetrace_df
+
+        lines = spark.createDataFrame(
+            [(0, [{"lon": 175.0, "lat": 5.0}, {"lon": -175.0, "lat": 6.0}])],
+            "line_id int, line array<struct<lon: double, lat: double>>",
+        )
+        got = [
+            r.cell_id
+            for r in linetrace_df(lines, 3, split_dateline=True)
+            .orderBy("seq")
+            .collect()
+        ]
+        exp = KR.linetrace(
+            WGS84_003,
+            [[(175.0, 5.0), (-175.0, 6.0)]],
+            3,
+            plane=False,
+            split_dateline=True,
+        )
+        assert got == exp
     def test_polyfill_df_split_dateline(self, spark):
         from rhealpixdggs_spark.operators.tiling import polyfill_df
 
