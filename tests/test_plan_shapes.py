@@ -355,6 +355,18 @@ class TestCurationPipeline:
         # limit below the exchange, final above it
         assert plan.count("WindowGroupLimit") == 2
 
+    def test_reference_golden_sweeps_are_map_only(self, spark, sf_dir):
+        """The full-grid reference-golden sweeps (decode_all,
+        neighbors_all, kring_sizes) are spark.range -> Arrow UDF ->
+        explode/project: zero Exchange — a planet-scale res-9 sweep
+        (2.3e9 cells) would run as one embarrassingly parallel map."""
+        import __spark_entry__ as entry
+
+        for name in ["decode_all", "neighbors_all", "kring_sizes"]:
+            df = entry.queries()[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, name
+
     def test_map_only_curation_ops(self, spark, sf_dir):
         """doc_chunks, pii_redaction and repetition_signals are pure
         map stages: zero Exchange, zero Python in the physical plan —
