@@ -44,7 +44,17 @@ out = {
     "scaling_efficiency": round(eff, 3),
     "runs": [a, b],
 }
+# Keep every prior session's result in the artifact — run-to-run
+# spread is part of the committed evidence, not something a rerun
+# silently replaces.
+path = os.path.join(repo, "BENCH", "two_size.json")
+if os.path.exists(path):
+    with open(path) as f:
+        prev = json.load(f)
+    hist = prev.pop("history", [])
+    hist.append({k: prev[k] for k in ("rate_n", "rate_4n", "scaling_efficiency") if k in prev})
+    out["history"] = hist
 print(json.dumps(out))
-with open(os.path.join(repo, "BENCH", "two_size.json"), "w") as f:
+with open(path, "w") as f:
     json.dump(out, f, indent=1)
 EOF
