@@ -1250,6 +1250,53 @@ def _q_polyfill(spark, sf_dir):
     return polyfill_df(spark, {"euro": [(EURO_RING, [])]}, res=3, plane=False)
 
 
+# Fixed literal zones for the zone-algebra contract queries: exercise
+# equal cells, ancestor/descendant pairs, partial sibling coverage
+# (8 of 9 Q33 children) and disjoint cells.
+_ZONE_A = ["N0", "P1", "Q33", "R2"]
+_ZONE_B = [
+    "N00", "N01", "P",
+    "Q330", "Q331", "Q332", "Q333", "Q334", "Q335", "Q336", "Q337",
+    "S1",
+]
+
+
+def _zone_lit(spark, cells):
+    return spark.createDataFrame([(c,) for c in cells], "cell_id string")
+
+
+def _q_zone_union(spark, sf_dir):
+    """Zone set algebra (operators/zone_algebra): Leaves(A) ∪ Leaves(B)
+    re-compressed to the canonical antichain, all prefix equi-joins.
+    The oracle re-derives the semantics independently in SQL: a
+    recursive CTE expands both zones to res-3 leaves, plain set ops
+    apply, and three unrolled sibling-merge steps re-compress."""
+    from rhealpixdggs_spark.operators.zone_algebra import zone_union
+
+    return zone_union(
+        _zone_lit(spark, _ZONE_A), _zone_lit(spark, _ZONE_B)
+    ).orderBy("cell_id")
+
+
+def _q_zone_intersect(spark, sf_dir):
+    """Leaves(A) ∩ Leaves(B) — see _q_zone_union."""
+    from rhealpixdggs_spark.operators.zone_algebra import zone_intersect
+
+    return zone_intersect(
+        _zone_lit(spark, _ZONE_A), _zone_lit(spark, _ZONE_B)
+    ).orderBy("cell_id")
+
+
+def _q_zone_subtract(spark, sf_dir):
+    """Leaves(A) − Leaves(B) via the boundary-proportional iterative
+    expansion — see _q_zone_union."""
+    from rhealpixdggs_spark.operators.zone_algebra import zone_subtract
+
+    return zone_subtract(
+        _zone_lit(spark, _ZONE_A), _zone_lit(spark, _ZONE_B)
+    ).orderBy("cell_id")
+
+
 def _q_polyfill_dateline(spark, sf_dir):
     """Dateline-crossing polyfill — the antimeridian limitation the
     reference leaves open (rhp_wrappers.py:546) lifted via
@@ -1809,18 +1856,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and decode_all — the full cap/dart/skew ellipsoidal relabel and
     decode of every res-2 cell — and polyfill_dateline — the
     antimeridian limitation lifted, gated against the reference run
-    on the manually split halves; tools/gen_reference_goldens.py) —
-    rotating OUT twenty-seven queries hash-green in BOTH prior rounds
-    or in r02 (knn_brute,
+    on the manually split halves; tools/gen_reference_goldens.py),
+    AND the three zone-algebra operators new in round 3 (zone_union /
+    zone_intersect / zone_subtract, each with an independent
+    recursive-CTE leaf-expansion SQL oracle) — rotating OUT thirty
+    queries hash-green in BOTH prior rounds or in r02 (knn_brute,
     cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
     knn_rings, hierarchy_ops, containment_packed, interval_scan,
     cell_nucleus, cell_xy_range, revenue_by_nation,
     tpch_shipping_priority, value_quantiles, sessionize,
     streaming_window, frame_sample, multimodal_features,
-    cell_boundary_quads, and — for the reference-executed eight —
+    cell_boundary_quads, and — to make room for the round-3 oracles —
     encode_points_res9, parent_rollup, containment_join,
     cell_from_region, grid_res3, knn_adaptive, cell_centroid_quads,
-    minimal_cover, each green in r01 AND r02), so
+    minimal_cover, subcells, compress_cells, pip_polygon, each green
+    in r01 AND r02), so
     after this round EVERY oracle-backed query has driver-green
     evidence on record. The tail (oracle-backed overflow + the three
     intentionally rows-only queries) stays covered by the local
@@ -1842,8 +1892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "decode_all": _q_decode_all,
         "linetrace": _q_linetrace,
-        "subcells": _q_subcells,
-        "compress_cells": _q_compress_cells,
+        "zone_union": _q_zone_union,
+        "zone_intersect": _q_zone_intersect,
         "polyfill": _q_polyfill,
         "polyfill_dateline": _q_polyfill_dateline,
         "salted_cell_agg": _q_salted_cell_agg,
@@ -1855,7 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_eq": _q_polyfill_eq,
         "zone_catchment": _q_zone_catchment,
         "zone_assign": _q_zone_assign,
-        "pip_polygon": _q_pip_polygon,
+        "zone_subtract": _q_zone_subtract,
         "polygon_join": _q_polygon_join,
         "raster_to_vector": _q_raster_to_vector,
         "vector_to_raster": _q_vector_to_raster,
@@ -1889,6 +1939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_adaptive": _q_knn_adaptive,
         "cell_centroid_quads": _q_cell_centroid_quads,
         "minimal_cover": _q_minimal_cover,
+        "subcells": _q_subcells,
+        "compress_cells": _q_compress_cells,
+        "pip_polygon": _q_pip_polygon,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2562,6 +2615,49 @@ def _neighbors_all_oracle_sql():
     )
 
 
+def _zone_algebra_oracle_sql(op: str) -> str:
+    """Independent SQL re-derivation of the zone algebra semantics:
+    recursive-CTE expansion of both literal zones to res-3 leaves,
+    DuckDB set operation, three unrolled complete-sibling merge steps
+    (leaf length 4 -> suid length 1)."""
+    setop = {"union": "UNION", "intersect": "INTERSECT", "subtract": "EXCEPT"}[op]
+    va = ", ".join(f"('{c}')" for c in _ZONE_A)
+    vb = ", ".join(f"('{c}')" for c in _ZONE_B)
+    dg = ", ".join(f"('{d}')" for d in "012345678")
+    compress_steps = []
+    prev = "c0"
+    for k in (1, 2, 3):
+        compress_steps.append(
+            f"m{k} AS (SELECT substr(cell_id, 1, length(cell_id) - 1) AS cell_id "
+            f"FROM {prev} WHERE length(cell_id) > 1 "
+            f"GROUP BY 1 HAVING count(*) = 9), "
+            f"c{k} AS (SELECT cell_id FROM m{k} UNION ALL "
+            f"SELECT c.cell_id FROM {prev} c "
+            f"WHERE length(c.cell_id) <= 1 OR "
+            f"substr(c.cell_id, 1, length(c.cell_id) - 1) NOT IN "
+            f"(SELECT cell_id FROM m{k}))"
+        )
+        prev = f"c{k}"
+    return (
+        "WITH RECURSIVE "
+        f"za(cell_id) AS (VALUES {va}), "
+        f"zb(cell_id) AS (VALUES {vb}), "
+        f"digits(d) AS (VALUES {dg}), "
+        "ea(cell_id) AS (SELECT cell_id FROM za UNION ALL "
+        "  SELECT ea.cell_id || digits.d FROM ea, digits "
+        "  WHERE length(ea.cell_id) < 4), "
+        "eb(cell_id) AS (SELECT cell_id FROM zb UNION ALL "
+        "  SELECT eb.cell_id || digits.d FROM eb, digits "
+        "  WHERE length(eb.cell_id) < 4), "
+        "la AS (SELECT cell_id FROM ea WHERE length(cell_id) = 4), "
+        "lb AS (SELECT cell_id FROM eb WHERE length(cell_id) = 4), "
+        "c0 AS (SELECT * FROM ((SELECT cell_id FROM la) "
+        f"{setop} (SELECT cell_id FROM lb)) u), "
+        + ", ".join(compress_steps)
+        + " SELECT cell_id FROM c3 ORDER BY cell_id"
+    )
+
+
 def _polyfill_dateline_oracle_sql():
     g = _ref_goldens()["polyfill_dateline"]
     vals = ", ".join(f"('{c}')" for c in g["cells"])
@@ -3045,6 +3141,9 @@ def oracle_sql() -> dict[str, str]:
         "neighbors_all": _neighbors_all_oracle_sql(),
         "decode_all": _decode_all_oracle_sql(),
         "polyfill_dateline": _polyfill_dateline_oracle_sql(),
+        "zone_union": _zone_algebra_oracle_sql("union"),
+        "zone_intersect": _zone_algebra_oracle_sql("intersect"),
+        "zone_subtract": _zone_algebra_oracle_sql("subtract"),
         "streaming_geo_counts": f"""
             WITH enc AS MATERIALIZED ({enc3})
             SELECT cell_id, count(*) AS n FROM enc GROUP BY cell_id

@@ -1,0 +1,128 @@
+"""Zone set algebra vs a brute-force leaf-set model.
+
+The model expands every cell to max-resolution leaves, applies plain
+Python set ops, and greedily re-compresses bottom-up — an independent
+definition of the semantics the operators implement relationally.
+"""
+
+import itertools
+import random
+
+import pytest
+
+from rhealpixdggs_spark.operators.zone_algebra import (
+    normalize_zone,
+    zone_intersect,
+    zone_subtract,
+    zone_union,
+)
+
+DIGITS = "012345678"
+
+
+def leaves(cells, res):
+    out = set()
+    for c in cells:
+        need = (res + 1) - len(c)
+        assert need >= 0
+        if need == 0:
+            out.add(c)
+        else:
+            out.update(
+                c + "".join(p) for p in itertools.product(DIGITS, repeat=need)
+            )
+    return out
+
+
+def compress(cells):
+    cells = set(cells)
+    changed = True
+    while changed:
+        changed = False
+        parents = {}
+        for c in cells:
+            if len(c) > 1:
+                parents.setdefault(c[:-1], set()).add(c)
+        for p, kids in parents.items():
+            if len(kids) == 9:
+                cells -= kids
+                cells.add(p)
+                changed = True
+    return cells
+
+
+def _df(spark, cells):
+    return spark.createDataFrame([(c,) for c in cells], "cell_id string")
+
+
+ZA = ["N0", "P1", "Q33", "R2"]
+ZB = [
+    "N00", "N01", "P",
+    "Q330", "Q331", "Q332", "Q333", "Q334", "Q335", "Q336", "Q337",
+    "S1",
+]
+
+
+class TestFixedZones:
+    def test_union(self, spark):
+        got = {r.cell_id for r in zone_union(_df(spark, ZA), _df(spark, ZB)).collect()}
+        exp = compress(leaves(ZA, 3) | leaves(ZB, 3))
+        assert got == exp == {"N0", "P", "Q33", "R2", "S1"}
+
+    def test_intersect(self, spark):
+        got = {
+            r.cell_id
+            for r in zone_intersect(_df(spark, ZA), _df(spark, ZB)).collect()
+        }
+        exp = compress(leaves(ZA, 3) & leaves(ZB, 3))
+        assert got == exp
+        assert "P1" in got and "N00" in got and "Q337" in got
+
+    def test_subtract(self, spark):
+        got = {
+            r.cell_id
+            for r in zone_subtract(_df(spark, ZA), _df(spark, ZB)).collect()
+        }
+        exp = compress(leaves(ZA, 3) - leaves(ZB, 3))
+        assert got == exp
+        assert "Q338" in got and "R2" in got and "P1" not in got
+
+    def test_subtract_empty_b(self, spark):
+        got = {
+            r.cell_id
+            for r in zone_subtract(_df(spark, ZA), _df(spark, [])).collect()
+        }
+        assert got == set(ZA)
+
+    def test_normalize_drops_redundancy(self, spark):
+        messy = ["N0", "N03", "N03", "P1"] + [f"Q3{d}" for d in DIGITS]
+        got = {r.cell_id for r in normalize_zone(_df(spark, messy)).collect()}
+        assert got == {"N0", "P1", "Q3"}
+
+
+class TestRandomZones:
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_ops_match_leaf_model(self, spark, seed):
+        rng = random.Random(seed)
+
+        def rand_zone(n):
+            cells = set()
+            while len(cells) < n:
+                res = rng.randint(1, 3)
+                cells.add(
+                    rng.choice("NOPQRS")
+                    + "".join(rng.choice(DIGITS) for _ in range(res))
+                )
+            return sorted(cells)
+
+        za, zb = rand_zone(12), rand_zone(12)
+        la, lb = leaves(za, 3), leaves(zb, 3)
+        for op, model in (
+            (zone_union, la | lb),
+            (zone_intersect, la & lb),
+            (zone_subtract, la - lb),
+        ):
+            got = {
+                r.cell_id for r in op(_df(spark, za), _df(spark, zb)).collect()
+            }
+            assert got == compress(model), (op.__name__, za, zb)
