@@ -347,7 +347,26 @@ def main():
     if args.scaling:
         res = scaling_protocol(args.sf_dir)
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        path = os.path.join(REPO, "BENCH", "scaling.json")
+        # Keep every prior protocol run in the artifact (run-to-run
+        # spread is committed evidence, not something a rerun silently
+        # replaces) — same convention as jobs/two_size_scaling.sh.
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            hist = prev.pop("history", [])
+            hist.append(
+                {
+                    "pairs": prev.get("pairs"),
+                    "cpu_control_rates": prev.get("cpu_control_rates"),
+                    "scaling_efficiency": prev.get("scaling_efficiency"),
+                    "repeat_run": prev.get("repeat_run", {}).get("pairs")
+                    if isinstance(prev.get("repeat_run"), dict)
+                    else None,
+                }
+            )
+            res["history"] = hist
+        with open(path, "w") as f:
             json.dump(res, f, indent=1)
         print(json.dumps(res))
         return

@@ -98,7 +98,8 @@ def tile_boundaries(tiles: DataFrame, cfg: DggsConfig = WGS84_003,
 
 def compress_cells_df(cells: DataFrame, cell_col: str = "cell_id",
                       cfg: DggsConfig = WGS84_003,
-                      checkpoint_every: int = 3) -> DataFrame:
+                      checkpoint_every: int = 3,
+                      reliable_checkpoint: bool = False) -> DataFrame:
     """Distributed compress_order_cells (conversion.py:114-135): replace
     any complete set of N_side^2 siblings by the parent, iteratively to
     fixpoint. Pure groupBy/union per level — no UDF.
@@ -110,7 +111,11 @@ def compress_cells_df(cells: DataFrame, cell_col: str = "cell_id",
     bottleneck). The working set is localCheckpoint'ed every
     `checkpoint_every` levels to keep plan depth O(checkpoint_every)
     regardless of input resolution; each checkpoint materializes only
-    the (shrinking) compressed set."""
+    the (shrinking) compressed set. localCheckpoint truncates lineage
+    to executor-local blocks; for long cluster jobs where an executor
+    loss mid-compaction matters, set reliable_checkpoint=True after
+    spark.sparkContext.setCheckpointDir(...) (same trade-off note as
+    operators/joins.knn_join_rings_adaptive)."""
     n_child = cfg.N_side**2
     out = cells.select(F.col(cell_col).alias("cell_id")).distinct()
     # Longest suid bounds the number of iterations.
@@ -132,7 +137,11 @@ def compress_cells_df(cells: DataFrame, cell_col: str = "cell_id",
         )
         out = merged.unionByName(parents.select(F.col("parent").alias("cell_id")))
         if (level + 1) % checkpoint_every == 0:
-            out = out.localCheckpoint(eager=True)
+            out = (
+                out.checkpoint(eager=True)
+                if reliable_checkpoint
+                else out.localCheckpoint(eager=True)
+            )
     return out
 
 

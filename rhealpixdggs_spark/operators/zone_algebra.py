@@ -123,6 +123,7 @@ def zone_subtract(
     cfg: DggsConfig = WGS84_003,
     checkpoint_every: int = 3,
     max_levels: int = 16,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Leaves(A) − Leaves(B) as a canonical antichain.
 
@@ -185,6 +186,14 @@ def zone_subtract(
         )
         frontier = next_frontier
         if (level + 1) % checkpoint_every == 0:
-            frontier = frontier.localCheckpoint(eager=True)
-            kept = kept.localCheckpoint(eager=True)
-    return compress_cells_df(kept, cfg=cfg)
+            # Same fault-tolerance trade-off note as
+            # operators/joins.knn_join_rings_adaptive.
+            if reliable_checkpoint:
+                frontier = frontier.checkpoint(eager=True)
+                kept = kept.checkpoint(eager=True)
+            else:
+                frontier = frontier.localCheckpoint(eager=True)
+                kept = kept.localCheckpoint(eager=True)
+    return compress_cells_df(
+        kept, cfg=cfg, reliable_checkpoint=reliable_checkpoint
+    )
