@@ -100,6 +100,29 @@ class TestFixedZones:
         assert got == {"N0", "P1", "Q3"}
 
 
+class TestDeepSubtract:
+    def test_res5_holes_cross_checkpoint_boundary(self, spark):
+        """Subtracting res-5 holes from a res-0 face expands 5 levels
+        — past the checkpoint_every=3 boundary — and the kept set must
+        equal the leaf model exactly."""
+        rng = random.Random(42)
+        holes = sorted(
+            {
+                "N" + "".join(rng.choice(DIGITS) for _ in range(5))
+                for _ in range(20)
+            }
+        )
+        got = {
+            r.cell_id
+            for r in zone_subtract(_df(spark, ["N"]), _df(spark, holes)).collect()
+        }
+        exp = compress(leaves(["N"], 5) - leaves(holes, 5))
+        assert got == exp
+        # Compression must have re-merged everything B didn't touch:
+        # the result is far smaller than the 59049-leaf expansion.
+        assert len(got) < 9 * 5 * len(holes)
+
+
 class TestRandomZones:
     @pytest.mark.parametrize("seed", [1, 2, 3])
     def test_ops_match_leaf_model(self, spark, seed):
