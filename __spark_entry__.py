@@ -1297,6 +1297,25 @@ def _q_zone_subtract(spark, sf_dir):
     ).orderBy("cell_id")
 
 
+def _q_zone_dateline(spark, sf_dir):
+    """Dateline-crossing CellZoneFromPoly — the seam-column cell rings
+    that invert at +/-180 are unwrapped with 360-shifted predicate
+    variants (kernel/zones.py), split_dateline=True splits the
+    geometry. The oracle is an INDEPENDENT interval-arithmetic model
+    (the region and every recursed cell are lon/lat rectangles, so the
+    recursion reduces to half-open interval comparisons over
+    reference-gated cell decodes) vendored by
+    tools/gen_reference_goldens.py, which also proves the reference
+    ITSELF mis-classifies the seam column (its documented antimeridian
+    TODO)."""
+    from rhealpixdggs_spark.operators.tiling import zone_from_poly_df
+
+    ring = [(170.0, 10.0), (-170.0, 10.0), (-170.0, 25.0), (170.0, 25.0)]
+    return zone_from_poly_df(
+        spark, [(ring, [])], res_limit=3, split_dateline=True
+    ).select("cell_id", F.col("res").cast("long").alias("res")).orderBy("cell_id")
+
+
 def _q_polyfill_dateline(spark, sf_dir):
     """Dateline-crossing polyfill — the antimeridian limitation the
     reference leaves open (rhp_wrappers.py:546) lifted via
@@ -1859,7 +1878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     on the manually split halves; tools/gen_reference_goldens.py),
     AND the three zone-algebra operators new in round 3 (zone_union /
     zone_intersect / zone_subtract, each with an independent
-    recursive-CTE leaf-expansion SQL oracle) — rotating OUT thirty
+    recursive-CTE leaf-expansion SQL oracle), AND zone_dateline (the
+    seam-column zone fix gated by an independent interval-arithmetic
+    model) — rotating OUT thirty-one
     queries hash-green in BOTH prior rounds or in r02 (knn_brute,
     cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
     knn_rings, hierarchy_ops, containment_packed, interval_scan,
@@ -1869,8 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cell_boundary_quads, and — to make room for the round-3 oracles —
     encode_points_res9, parent_rollup, containment_join,
     cell_from_region, grid_res3, knn_adaptive, cell_centroid_quads,
-    minimal_cover, subcells, compress_cells, pip_polygon, each green
-    in r01 AND r02), so
+    minimal_cover, subcells, compress_cells, pip_polygon,
+    vector_to_raster, each green in r01 AND r02), so
     after this round EVERY oracle-backed query has driver-green
     evidence on record. The tail (oracle-backed overflow + the three
     intentionally rows-only queries) stays covered by the local
@@ -1908,7 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_subtract": _q_zone_subtract,
         "polygon_join": _q_polygon_join,
         "raster_to_vector": _q_raster_to_vector,
-        "vector_to_raster": _q_vector_to_raster,
+        "zone_dateline": _q_zone_dateline,
         "minhash_sig": _q_minhash_sig,
         "simhash": _q_simhash,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -1942,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subcells": _q_subcells,
         "compress_cells": _q_compress_cells,
         "pip_polygon": _q_pip_polygon,
+        "vector_to_raster": _q_vector_to_raster,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2658,6 +2680,15 @@ def _zone_algebra_oracle_sql(op: str) -> str:
     )
 
 
+def _zone_dateline_oracle_sql():
+    cells = _ref_goldens()["zone_dateline"]["cells"]
+    vals = ", ".join(f"('{c}')" for c in cells)
+    return (
+        f"SELECT cell_id, length(cell_id) - 1 AS res "
+        f"FROM (VALUES {vals}) t(cell_id)"
+    )
+
+
 def _polyfill_dateline_oracle_sql():
     g = _ref_goldens()["polyfill_dateline"]
     vals = ", ".join(f"('{c}')" for c in g["cells"])
@@ -3141,6 +3172,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbors_all": _neighbors_all_oracle_sql(),
         "decode_all": _decode_all_oracle_sql(),
         "polyfill_dateline": _polyfill_dateline_oracle_sql(),
+        "zone_dateline": _zone_dateline_oracle_sql(),
         "zone_union": _zone_algebra_oracle_sql("union"),
         "zone_intersect": _zone_algebra_oracle_sql("intersect"),
         "zone_subtract": _zone_algebra_oracle_sql("subtract"),

@@ -215,6 +215,140 @@ def gen_polyfill_dateline(ref) -> list[str]:
     return sorted(cells)
 
 
+def gen_zone_dateline(ref) -> list[str]:
+    """Zone of the dateline-crossing quad, gated by an INDEPENDENT
+    interval-arithmetic model. The reference cannot produce this zone:
+    its cell polygons invert at the seam exactly like the pre-fix
+    engine (running CellZoneFromPoly on the manually split halves
+    MISSES the seam-column cells R25x/R28x/R52x — verified below —
+    its documented antimeridian TODO). But the region is an
+    axis-aligned rectangle in unwrapped lon space, and every cell the
+    recursion touches is an equatorial quad (caps/darts sit at |lat| >
+    41.9), i.e. also a lon/lat rectangle — so CellZoneFromPoly's
+    recursion reduces to pure interval comparisons over cell
+    boundaries that decode_all already gates against the reference.
+    The model shares no predicate code with kernel/zones.py."""
+    import numpy as np
+
+    from rhealpixdggs_spark.kernel import cells as KCells
+    from rhealpixdggs_spark.kernel import zones as KZzone
+    from rhealpixdggs_spark.kernel.constants import CELLS0
+
+    # The split geometry as half-open rectangles. Even-odd ray
+    # crossing on an axis-aligned rect [a,b]x[c,d] admits exactly
+    # x in [a,b) and y in [c,d) (left/bottom edges in, right/top out)
+    # — derived from the crossing rule, re-implemented here as plain
+    # interval logic.
+    RECTS = [(170.0, 180.0, 10.0, 25.0), (-180.0, -170.0, 10.0, 25.0)]
+
+    def pt_in_region(x, y):
+        return any(a <= x < b and c <= y < d for a, b, c, d in RECTS)
+
+    def decode(suid):
+        f, d = KCells.parse_suids(np.array([suid]))
+        ring = np.asarray(KCells.vertices(WGS84_003, f, d, plane=False))[0]
+        lon = ring[:, 0]
+        if lon.max() - lon.min() > 180.0:  # seam-column unwrap
+            lon = np.where(lon < 0, lon + 360.0, lon)
+        nlo, nla = KCells.nucleus(WGS84_003, f, d, plane=False)
+        return (
+            float(lon.min()), float(lon.max()),
+            float(ring[:, 1].min()), float(ring[:, 1].max()),
+            float(nlo[0]), float(nla[0]),
+        )
+
+    def classify(suid):
+        p0, q0, r, s, nlon, nlat = decode(suid)
+        shifts = [0.0]
+        if q0 > 180.0:
+            shifts.append(-360.0)
+        if p0 < -180.0:
+            shifts.append(360.0)
+        contained = overlaps = False
+        for sh in shifts:
+            p, q = p0 + sh, q0 + sh
+            verts_in = [
+                pt_in_region(x, y) for x in (p, q) for y in (r, s)
+            ]
+            cross = False
+            for a, b, c, d in RECTS:
+                # cell vertical edge x in {p,q} vs region horizontal
+                # edges y in {c,d}; cell horizontal vs region vertical.
+                for x in (p, q):
+                    for ylev in (c, d):
+                        cross |= r < ylev < s and a < x < b
+                for y in (r, s):
+                    for xlev in (a, b):
+                        cross |= p < xlev < q and c < y < d
+            corners = [
+                (x, y) for a, b, c, d in RECTS for x in (a, b) for y in (c, d)
+            ]
+            gin = [p <= x < q and r <= y < s for x, y in corners]
+            anyv, allv = any(verts_in), all(verts_in)
+            contained |= allv and not cross
+            overlaps |= (anyv and not allv) or cross or (
+                not anyv and any(gin) and not all(gin)
+            )
+        nuc = pt_in_region(nlon, nlat)
+        return contained, overlaps, nuc
+
+    model: list[str] = []
+
+    def get_poly(cell):
+        contained, _ov, _n = classify(cell)
+        if contained:
+            model.append(cell)
+            return
+        if (len(cell) - 1) + 1 > DATELINE_RES:
+            return
+        for dgt in "012345678":
+            child = cell + dgt
+            c_cont, c_ov, c_nuc = classify(child)
+            if c_cont:
+                model.append(child)
+            elif len(child) - 1 == DATELINE_RES:
+                if c_nuc:
+                    model.append(child)
+            elif c_ov:
+                get_poly(child)
+
+    for face in CELLS0:
+        contained, overlaps, _ = classify(face)
+        if overlaps or contained:
+            get_poly(face)
+
+    kcells = KZzone.zone_from_poly(
+        WGS84_003,
+        KR.split_antimeridian([(DATELINE_RING, [])]),
+        DATELINE_RES,
+    )
+    assert sorted(model) == sorted(kcells), "zone_dateline: model != kernel"
+
+    # Evidence the reference limitation is real: its per-half zone
+    # union misses the seam-column cells the model mandates.
+    import rhealpixdggs.conversion as conversion
+
+    rdggs = ref.dggs.WGS84_003
+    Polygon = sys.modules["shapely.geometry"].Polygon
+    refcells: set = set()
+    for half_ring in (DATELINE_WEST, DATELINE_EAST):
+        for face in CELLS0:
+            z = conversion.CellZoneFromPoly(
+                ("dl", Polygon(half_ring)),
+                DATELINE_RES,
+                return_cells=True,
+                bounding_cell=ref.cell.Cell(rdggs=rdggs, suid=(face,)),
+                rdggs=rdggs,
+            )
+            refcells |= {str(c) for c in z.cells_list}
+    missed = sorted(set(model) - refcells)
+    assert missed and all(s[0] == "R" for s in missed), (
+        "expected the reference to miss exactly the seam-column cells"
+    )
+    assert refcells <= set(model), "reference found cells the model rejects"
+    return sorted(model)
+
+
 def gen_neighbors(ref) -> list[list]:
     import numpy as np
 
@@ -334,6 +468,11 @@ def main() -> None:
             "res": DATELINE_RES,
             "polygon": [list(p) for p in DATELINE_RING],
             "cells": gen_polyfill_dateline(ref),
+        },
+        "zone_dateline": {
+            "res_limit": DATELINE_RES,
+            "polygon": [list(p) for p in DATELINE_RING],
+            "cells": gen_zone_dateline(ref),
         },
     }
     path = os.path.join(DATA_DIR, "ref_goldens.json")
