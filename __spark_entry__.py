@@ -1297,6 +1297,23 @@ def _q_zone_subtract(spark, sf_dir):
     ).orderBy("cell_id")
 
 
+def _q_linetrace_dateline(spark, sf_dir):
+    """Dateline-crossing linetrace (split_dateline=True splits the
+    segment at the seam and concatenates the walks). The oracle is the
+    REFERENCE EXECUTED on the two nudged sub-segments — the reference
+    itself cannot cross the seam (dggs.py:1107-1114) — vendored by
+    tools/gen_reference_goldens.py."""
+    from rhealpixdggs_spark.operators.tiling import linetrace_df
+
+    lines = spark.createDataFrame(
+        [(0, [{"lon": 175.0, "lat": 5.0}, {"lon": -175.0, "lat": 6.0}])],
+        "line_id int, line array<struct<lon: double, lat: double>>",
+    )
+    return linetrace_df(lines, 3, split_dateline=True).select(
+        F.col("seq").cast("int").alias("seq"), "cell_id"
+    ).orderBy("seq")
+
+
 def _q_zone_dateline(spark, sf_dir):
     """Dateline-crossing CellZoneFromPoly — the seam-column cell rings
     that invert at +/-180 are unwrapped with 360-shifted predicate
@@ -1880,7 +1897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     zone_intersect / zone_subtract, each with an independent
     recursive-CTE leaf-expansion SQL oracle), AND zone_dateline (the
     seam-column zone fix gated by an independent interval-arithmetic
-    model) — rotating OUT thirty-one
+    model) and linetrace_dateline (reference executed on the nudged
+    sub-segments) — rotating OUT thirty-two
     queries hash-green in BOTH prior rounds or in r02 (knn_brute,
     cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
     knn_rings, hierarchy_ops, containment_packed, interval_scan,
@@ -1891,7 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     encode_points_res9, parent_rollup, containment_join,
     cell_from_region, grid_res3, knn_adaptive, cell_centroid_quads,
     minimal_cover, subcells, compress_cells, pip_polygon,
-    vector_to_raster, each green in r01 AND r02), so
+    vector_to_raster, cosine_topk, each green in r01 AND r02), so
     after this round EVERY oracle-backed query has driver-green
     evidence on record. The tail (oracle-backed overflow + the three
     intentionally rows-only queries) stays covered by the local
@@ -1937,7 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_groups": _q_dedup_groups,
         "near_dup_embeddings": _q_near_dup_embeddings,
-        "cosine_topk": _q_cosine_topk,
+        "linetrace_dateline": _q_linetrace_dateline,
         "lang_quality": _q_lang_quality,
         "tpch_pricing": _q_tpch_pricing,
         "repetition_signals": _q_repetition_signals,
@@ -1964,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_cells": _q_compress_cells,
         "pip_polygon": _q_pip_polygon,
         "vector_to_raster": _q_vector_to_raster,
+        "cosine_topk": _q_cosine_topk,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2680,6 +2699,12 @@ def _zone_algebra_oracle_sql(op: str) -> str:
     )
 
 
+def _linetrace_dateline_oracle_sql():
+    rows = _ref_goldens()["linetrace_dateline"]["rows"]
+    vals = ", ".join(f"({s}, '{c}')" for s, c in rows)
+    return f"SELECT seq, cell_id FROM (VALUES {vals}) t(seq, cell_id)"
+
+
 def _zone_dateline_oracle_sql():
     cells = _ref_goldens()["zone_dateline"]["cells"]
     vals = ", ".join(f"('{c}')" for c in cells)
@@ -3173,6 +3198,7 @@ def oracle_sql() -> dict[str, str]:
         "decode_all": _decode_all_oracle_sql(),
         "polyfill_dateline": _polyfill_dateline_oracle_sql(),
         "zone_dateline": _zone_dateline_oracle_sql(),
+        "linetrace_dateline": _linetrace_dateline_oracle_sql(),
         "zone_union": _zone_algebra_oracle_sql("union"),
         "zone_intersect": _zone_algebra_oracle_sql("intersect"),
         "zone_subtract": _zone_algebra_oracle_sql("subtract"),

@@ -349,6 +349,34 @@ def gen_zone_dateline(ref) -> list[str]:
     return sorted(model)
 
 
+DATELINE_SEG = ((175.0, 5.0), (-175.0, 6.0))
+
+
+def gen_linetrace_dateline(ref) -> list[list]:
+    """The dateline linetrace's defining semantic: the trace of a
+    crossing segment == the reference's cells_from_line over the two
+    seam-split sub-segments (inner endpoints nudged 1e-9 deg inside
+    each hemisphere — the reference itself cannot cross the seam,
+    dggs.py:1107-1114), concatenated with consecutive-dup removal."""
+    a, b = DATELINE_SEG
+    lat_x = a[1] + ((180.0 - a[0]) / ((b[0] + 360.0) - a[0])) * (b[1] - a[1])
+    eps = 1e-9
+    rdggs = ref.dggs.WGS84_003
+    cells: list[str] = []
+    for seg in (
+        (a, (180.0 - eps, lat_x)),
+        ((-180.0 + eps, lat_x), b),
+    ):
+        for c in rdggs.cells_from_line(LINE_RES, seg[0], seg[1], False):
+            if not cells or cells[-1] != str(c):
+                cells.append(str(c))
+    kcells = KR.linetrace(
+        WGS84_003, [[a, b]], LINE_RES, plane=False, split_dateline=True
+    )
+    assert cells == kcells, "linetrace_dateline: reference != kernel"
+    return [[seq, c] for seq, c in enumerate(cells)]
+
+
 def gen_neighbors(ref) -> list[list]:
     import numpy as np
 
@@ -473,6 +501,11 @@ def main() -> None:
             "res_limit": DATELINE_RES,
             "polygon": [list(p) for p in DATELINE_RING],
             "cells": gen_zone_dateline(ref),
+        },
+        "linetrace_dateline": {
+            "res": LINE_RES,
+            "segment": [list(p) for p in DATELINE_SEG],
+            "rows": gen_linetrace_dateline(ref),
         },
     }
     path = os.path.join(DATA_DIR, "ref_goldens.json")
