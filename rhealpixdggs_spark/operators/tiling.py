@@ -610,15 +610,19 @@ def zone_tiles(
     polygons: dict[str, list],
     res_limit: int,
     cfg: DggsConfig = WGS84_003,
+    split_dateline: bool = False,
 ) -> DataFrame:
     """Named multi-resolution zone table (tile_id, res, zone) — the
     CellZoneFromPoly twin of polyfill_df's output shape: one
     distributed zone loop (zone_from_poly_df) per named zone, unioned.
     The result is the compact tile side for containment_join /
     streaming_zone_assignment. `polygons` maps zone name ->
-    [(exterior_ring, holes), ...]."""
+    [(exterior_ring, holes), ...]; split_dateline=True normalizes
+    dateline-crossing rings per zone first."""
     parts = [
-        zone_from_poly_df(spark, polys, res_limit, cfg).select(
+        zone_from_poly_df(
+            spark, polys, res_limit, cfg, split_dateline=split_dateline
+        ).select(
             F.col("cell_id").alias("tile_id"),
             "res",
             F.lit(name).alias("zone"),
@@ -637,6 +641,7 @@ def zone_tiles_many(
     res_limit: int,
     cfg: DggsConfig = WGS84_003,
     checkpoint: bool = True,
+    split_dateline: bool = False,
 ) -> DataFrame:
     """Lock-step distributed CellZoneFromPoly for MANY named zones:
     one (zone, cell_id) frontier advances all zones together, so a
@@ -657,6 +662,11 @@ def zone_tiles_many(
     from ..kernel import zones as KZ
     from ..kernel.constants import CELLS0
 
+    if split_dateline:
+        polygons = {
+            name: KR.split_antimeridian(polys, radians=cfg.radians)
+            for name, polys in polygons.items()
+        }
     geoms = {name: KZ._Geometry(polys) for name, polys in polygons.items()}
     emit_rows: list[tuple[str, str]] = []
     frontier_rows: list[tuple[str, str]] = []

@@ -121,6 +121,27 @@ class TestLinetrace:
 
 @pytest.mark.usefixtures("spark")
 class TestDistributed:
+    def test_zone_tiles_many_split_dateline(self, spark):
+        from rhealpixdggs_spark.kernel import zones as KZ
+        from rhealpixdggs_spark.operators.tiling import zone_tiles_many
+
+        got = sorted(
+            (r.zone, r.tile_id)
+            for r in zone_tiles_many(
+                spark,
+                {"fiji": [(CROSSING_RAW, [])]},
+                res_limit=2,
+                split_dateline=True,
+            ).collect()
+        )
+        exp = sorted(
+            ("fiji", c)
+            for c in KZ.zone_from_poly(
+                WGS84_003, KR.split_antimeridian([(CROSSING_RAW, [])]), 2
+            )
+        )
+        assert got == exp and got
+
     def test_linetrace_df_split_dateline(self, spark):
         from rhealpixdggs_spark.operators.tiling import linetrace_df
 
