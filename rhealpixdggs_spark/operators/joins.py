@@ -344,6 +344,7 @@ def polygon_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     max_driver_cells: int = 100_000,
+    split_dateline: bool = False,
 ) -> DataFrame:
     """Point-in-polygon spatial join against a (small) polygon table —
     the north-star "point-in-polygon tests against tile boundaries"
@@ -367,11 +368,15 @@ def polygon_join(
     [(lon, lat), ...]. Returns the matching points with a `zone`
     column; points in several zones appear once per zone.
 
-    Limitation: polygons must NOT cross the antimeridian — the bbox
-    prefilter covers (min lon, max lat)-(max lon, min lat), so a
-    dateline-wrapping ring would be covered across the wrong
-    hemisphere band and silently drop matches. Split such rings at
-    +/-180 into two polygons of the same zone before calling.
+    Dateline handling: by default, polygons must NOT cross the
+    antimeridian — the bbox prefilter covers
+    (min lon, max lat)-(max lon, min lat), so a dateline-wrapping ring
+    would be covered across the wrong hemisphere band and silently
+    drop matches. Pass split_dateline=True to cut crossing rings at
+    the seam into two polygons of the same zone automatically
+    (kernel regions.split_antimeridian). A zone may appear in several
+    (zone, ext, holes) entries either way (multipolygon zones); the
+    refine pass ORs over all its parts.
     """
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
@@ -382,14 +387,24 @@ def polygon_join(
     from .tiling import region_cover_ell_df
 
     spark = points.sparkSession
+    if split_dateline:
+        polygons = [
+            (zone, e2, h2)
+            for zone, ext, holes in polygons
+            for e2, h2 in KR.split_antimeridian(
+                [(ext, holes)], radians=cfg.radians
+            )
+        ]
     rows = []
     big_parts = []
-    lookup = {}
+    lookup: dict = {}
     w = cfg.cell_width(res)
     for zone, ext, holes in polygons:
-        lookup[zone] = (
-            [(float(x), float(y)) for x, y in ext],
-            [[(float(x), float(y)) for x, y in h] for h in holes],
+        lookup.setdefault(zone, []).append(
+            (
+                [(float(x), float(y)) for x, y in ext],
+                [[(float(x), float(y)) for x, y in h] for h in holes],
+            )
         )
         xs = [p[0] for p in ext]
         ys = [p[1] for p in ext]
@@ -424,8 +439,10 @@ def polygon_join(
         lat = la.to_numpy(np.float64)
         for z in zo.unique():
             m = (zo == z).to_numpy()
-            ext, holes = lookup[z]
-            out[m] = KR.points_in_polygon(lon[m], lat[m], ext, holes)
+            hit = np.zeros(int(m.sum()), dtype=bool)
+            for ext, holes in lookup[z]:
+                hit |= KR.points_in_polygon(lon[m], lat[m], ext, holes)
+            out[m] = hit
         return pd.Series(out, index=lo.index)
 
     enc = points.withColumn(

@@ -142,6 +142,46 @@ class TestDistributed:
         )
         assert got == exp and got
 
+    def test_polygon_join_split_dateline(self, spark):
+        from rhealpixdggs_spark.operators.joins import polygon_join
+
+        pts = spark.createDataFrame(
+            [
+                (1, 176.0, 15.0),   # west of the seam, inside
+                (2, -176.0, 20.0),  # east of the seam, inside
+                (3, 150.0, 15.0),   # outside
+                (4, -176.0, 40.0),  # outside (lat)
+            ],
+            "pid int, lon double, lat double",
+        )
+        got = {
+            (r.pid, r.zone)
+            for r in polygon_join(
+                pts, [("fiji", CROSSING_RAW, [])], res=2, split_dateline=True
+            ).collect()
+        }
+        assert got == {(1, "fiji"), (2, "fiji")}
+
+    def test_polygon_join_multipart_zone_refine(self, spark):
+        """A zone split into several (zone, ext, holes) entries must OR
+        over all its parts in the refine pass (regression: the lookup
+        previously kept only the last part)."""
+        from rhealpixdggs_spark.operators.joins import polygon_join
+
+        pts = spark.createDataFrame(
+            [(1, 172.0, 15.0), (2, -172.0, 15.0)],
+            "pid int, lon double, lat double",
+        )
+        got = {
+            (r.pid, r.zone)
+            for r in polygon_join(
+                pts,
+                [("z", WEST_HALF, []), ("z", EAST_HALF, [])],
+                res=2,
+            ).collect()
+        }
+        assert got == {(1, "z"), (2, "z")}
+
     def test_linetrace_df_split_dateline(self, spark):
         from rhealpixdggs_spark.operators.tiling import linetrace_df
 
