@@ -2602,16 +2602,24 @@ def _cell_geometry_oracle_sql() -> str:
 
 def _ref_goldens():
     """Reference-EXECUTED goldens (region_cover / linetrace_many /
-    zone_from_poly), generated and kernel-cross-checked by
-    tools/gen_reference_goldens.py and vendored into the package."""
-    import json
+    zone_from_poly / polyfill / kring_sizes / neighbors_all /
+    decode_all / dateline family), generated and kernel-cross-checked
+    by tools/gen_reference_goldens.py and vendored into the package.
+    Cached: ten oracle builders read it per oracle_sql() call."""
+    global _REF_GOLDENS_CACHE
+    if _REF_GOLDENS_CACHE is None:
+        import json
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "rhealpixdggs_spark", "data", "ref_goldens.json",
-    )
-    with open(path) as f:
-        return json.load(f)
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "rhealpixdggs_spark", "data", "ref_goldens.json",
+        )
+        with open(path) as f:
+            _REF_GOLDENS_CACHE = json.load(f)
+    return _REF_GOLDENS_CACHE
+
+
+_REF_GOLDENS_CACHE = None
 
 
 def _region_cover_oracle_sql():

@@ -533,6 +533,17 @@ def split_antimeridian(polygons, radians: bool = False) -> list:
         hi = max(p[0] for p in ext)
         if hi - lo > 2 * half:
             raise ValueError("polygon spans more than a full revolution")
+
+        def unwrap_hole(h):
+            """Unwrap a hole INTO THE EXTERIOR'S FRAME: a hole lies
+            inside its exterior, so after its own unwrap there is a
+            unique 360-degree shift placing it within [lo, hi] —
+            anchoring to the hole's own first vertex instead would
+            attach far-side-of-seam holes to the wrong half."""
+            hu = unwrap(h)
+            mid = (min(p[0] for p in hu) + max(p[0] for p in hu)) / 2.0
+            k = round(((lo + hi) / 2.0 - mid) / (2 * half))
+            return [(x + k * 2 * half, y) for x, y in hu]
         # Odd multiples of 180 inside (lo, hi) are the seams.
         k_lo = int(np.ceil((lo / half - 1) / 2))
         k_hi = int(np.floor((hi / half - 1) / 2))
@@ -543,14 +554,14 @@ def split_antimeridian(polygons, radians: bool = False) -> list:
             out.append(
                 (
                     [(x + shift, y) for x, y in ext],
-                    [[(x + shift, y) for x, y in unwrap(h)] for h in holes],
+                    [[(x + shift, y) for x, y in unwrap_hole(h)] for h in holes],
                 )
             )
             continue
         if len(seams) > 1:
             raise ValueError("polygon crosses more than one seam")
         seam = seams[0]
-        uholes = [unwrap(h) for h in holes]
+        uholes = [unwrap_hole(h) for h in holes]
         for keep_le in (True, False):
             cext = _clip_ring_halfplane(ext, seam, keep_le)
             if len(cext) < 3:

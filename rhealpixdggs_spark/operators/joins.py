@@ -436,6 +436,10 @@ def polygon_join(
     def _pip_zone(lo: pd.Series, la: pd.Series, zo: pd.Series) -> pd.Series:
         out = np.zeros(len(lo), dtype=bool)
         lon = lo.to_numpy(np.float64)
+        # +180 and -180 encode the same meridian; the encode prefilter
+        # wraps +180 to -180, so the refine pass must test the same
+        # representation or seam points silently drop.
+        lon = np.where(lon == 180.0, -180.0, lon)
         lat = la.to_numpy(np.float64)
         for z in zo.unique():
             m = (zo == z).to_numpy()

@@ -289,17 +289,19 @@ def region_cover_ell_df(
     # global columns between the corner cells' planar x (x = R*lambda).
     x_lo, _ = fwd(lam_min, 0.0)
     x_hi, _ = fwd(lam_max, 0.0)
-    if lam_max == PI:
-        # +180 wraps to -180 in the forward projection; as a region's
-        # EAST edge it means the rightmost column, not column 0 (the
-        # dateline-split west half ends exactly here).
-        x_hi = R * np.pi
     c0 = int(math.floor((x_lo + R * np.pi) / w))
     c1 = int(math.floor((x_hi + R * np.pi) / w))
     c0 = min(c0, ring_len - 1)
     c1 = min(c1, ring_len - 1)
     full_ring = c0 == c1 and (lam_max - lam_min) >= PI / 2
-    ncols = ring_len if full_ring else c1 - c0 + 1
+    # Wrap-aware span: a region whose east edge sits exactly at +180
+    # has c1 wrapped to column 0 (the forward projection maps +180 to
+    # -180). The kernel/reference walk then INCLUDES the first column
+    # across the seam (encode(+180) lands there), so the closed-form
+    # span must too — (c1 - c0) mod ring_len keeps the matrices
+    # identical; the existing (col + c0) % ring_len emission already
+    # wraps the column ids.
+    ncols = ring_len if full_ring else (c1 - c0) % ring_len + 1
 
     # boundary rows (dggs.py:1319-1330): prepend/append a walked
     # parallel when the lattice misses the region's corner cells.

@@ -65,11 +65,16 @@ def normalize_zone(
     cell_col: str = "cell_id",
     cfg: DggsConfig = WGS84_003,
     compress: bool = True,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Canonical antichain form: dedupe, drop descendant-redundant
     cells, merge complete sibling sets (compress_cells_df)."""
     out = _drop_covered(_cells(df, cell_col))
-    return compress_cells_df(out, cfg=cfg) if compress else out
+    if not compress:
+        return out
+    return compress_cells_df(
+        out, cfg=cfg, reliable_checkpoint=reliable_checkpoint
+    )
 
 
 def zone_union(
@@ -77,10 +82,11 @@ def zone_union(
     b: DataFrame,
     cell_col: str = "cell_id",
     cfg: DggsConfig = WGS84_003,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Leaves(A) ∪ Leaves(B) as a canonical antichain."""
     both = _cells(a, cell_col).unionByName(_cells(b, cell_col))
-    return normalize_zone(both, cfg=cfg)
+    return normalize_zone(both, cfg=cfg, reliable_checkpoint=reliable_checkpoint)
 
 
 def zone_intersect(
@@ -88,6 +94,7 @@ def zone_intersect(
     b: DataFrame,
     cell_col: str = "cell_id",
     cfg: DggsConfig = WGS84_003,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Leaves(A) ∩ Leaves(B). For antichains the intersection is:
     A-cells having an ancestor-or-equal in B (the A-cell lies wholly
@@ -95,8 +102,8 @@ def zone_intersect(
     refines an A-cell) — two prefix semi-joins, provably an antichain
     again (a containment chain across the two cases would violate
     B's antichain property)."""
-    A = normalize_zone(a, cell_col, cfg)
-    B = normalize_zone(b, cell_col, cfg)
+    A = normalize_zone(a, cell_col, cfg, reliable_checkpoint=reliable_checkpoint)
+    B = normalize_zone(b, cell_col, cfg, reliable_checkpoint=reliable_checkpoint)
     b_keys = B.select(F.col("cell_id").alias("anc"))
     a_keys = A.select(F.col("cell_id").alias("anc"))
     a_pref = A.select(
@@ -113,7 +120,10 @@ def zone_intersect(
         "cell_id", F.explode(F.expr(_PROPER_PREFIXES)).alias("anc")
     )
     case2 = b_pref.join(a_keys, "anc", "left_semi").select("cell_id").distinct()
-    return compress_cells_df(case1.unionByName(case2), cfg=cfg)
+    return compress_cells_df(
+        case1.unionByName(case2), cfg=cfg,
+        reliable_checkpoint=reliable_checkpoint,
+    )
 
 
 def zone_subtract(
@@ -135,8 +145,8 @@ def zone_subtract(
     localCheckpoint'ed every `checkpoint_every` levels (same
     lineage-bounding treatment as compress_cells_df)."""
     spark = a.sparkSession
-    A = normalize_zone(a, cell_col, cfg)
-    B = normalize_zone(b, cell_col, cfg)
+    A = normalize_zone(a, cell_col, cfg, reliable_checkpoint=reliable_checkpoint)
+    B = normalize_zone(b, cell_col, cfg, reliable_checkpoint=reliable_checkpoint)
     b_cells = B.select(F.col("cell_id").alias("b_cell"))
     # Every proper prefix of a B cell: "B has a descendant inside".
     b_pref = (

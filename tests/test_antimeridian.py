@@ -59,6 +59,28 @@ class TestSplitter:
         exp = KR.points_in_polygon(lon_u, lat, CROSSING_UNWRAPPED, [])
         assert (got == exp).all()
 
+    def test_far_side_hole_attached_to_correct_half(self):
+        """A hole given in-range on the east side of the seam must be
+        clipped into the EAST part (regression: unwrap anchored to the
+        hole's own first vertex attached it to the west part)."""
+        hole = [(-178.0, 14.0), (-175.0, 14.0), (-175.0, 20.0), (-178.0, 20.0)]
+        parts = KR.split_antimeridian([(CROSSING_RAW, [hole])])
+        by_side = {round(min(x for x, _ in ext)): holes for ext, holes in parts}
+        assert by_side[170] == [] and len(by_side[-180]) == 1
+        inside = any(
+            bool(KR.points_in_polygon([-176.5], [17.0], ext, holes)[0])
+            for ext, holes in parts
+        )
+        assert not inside  # hole-interior point excluded
+
+    def test_non_crossing_unwrapped_hole_anchored_to_exterior(self):
+        ext = [(200.0, 10.0), (220.0, 10.0), (220.0, 25.0), (200.0, 25.0)]
+        hole = [(-155.0, 14.0), (-150.0, 14.0), (-150.0, 20.0), (-155.0, 20.0)]
+        (oext, oholes), = KR.split_antimeridian([(ext, [hole])])
+        assert all(-180.0 <= x <= 180.0 for x, _ in oext)
+        assert oholes and all(-180.0 <= x <= 180.0 for x, _ in oholes[0])
+        assert not KR.points_in_polygon([-152.0], [17.0], oext, oholes)[0]
+
     def test_hole_clipped_to_both_sides(self):
         hole = [(175.0, 14.0), (185.0, 14.0), (185.0, 20.0), (175.0, 20.0)]
         parts = KR.split_antimeridian([(CROSSING_UNWRAPPED, [hole])])
@@ -161,6 +183,40 @@ class TestDistributed:
             ).collect()
         }
         assert got == {(1, "fiji"), (2, "fiji")}
+
+    def test_polygon_join_seam_point_plus180(self, spark):
+        """+180 and -180 encode the same meridian; a point normalized
+        to +180.0 inside the crossing polygon must still match."""
+        from rhealpixdggs_spark.operators.joins import polygon_join
+
+        pts = spark.createDataFrame(
+            [(1, 180.0, 15.0), (2, -180.0, 15.0)],
+            "pid int, lon double, lat double",
+        )
+        got = {
+            r.pid
+            for r in polygon_join(
+                pts, [("fiji", CROSSING_RAW, [])], res=2, split_dateline=True
+            ).collect()
+        }
+        assert got == {1, 2}
+
+    def test_region_cover_seam_edge_matches_kernel(self, spark):
+        """A quad whose east edge sits exactly at +180: the kernel walk
+        includes the wrapped first column (encode(+180) lands there);
+        the distributed closed-form span must produce the identical
+        matrix."""
+        from rhealpixdggs_spark.operators.tiling import region_cover_ell_df
+
+        M = KR.cells_from_region(WGS84_003, 2, (170.0, 25.0), (180.0, 10.0), plane=False)
+        exp = {(i, j, c) for i, row in enumerate(M) for j, c in enumerate(row)}
+        got = {
+            (r.row_i, r.col_i, r.cell_id)
+            for r in region_cover_ell_df(
+                spark, 2, (170.0, 25.0), (180.0, 10.0)
+            ).collect()
+        }
+        assert got == exp
 
     def test_polygon_join_multipart_zone_refine(self, spark):
         """A zone split into several (zone, ext, holes) entries must OR
