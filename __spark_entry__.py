@@ -284,6 +284,22 @@ def _q_decode_all(spark, sf_dir):
     )
 
 
+def _q_shape_all(spark, sf_dir):
+    """Ellipsoidal shape classification (quad/cap/dart/skew_quad,
+    cell.py:1008-1059) of EVERY res-1 and res-2 cell — the branch
+    selector behind vertex ordering, centroid formulas and neighbor
+    relabels. The oracle is the REFERENCE EXECUTED per cell
+    (Cell.ellipsoidal_shape), vendored by
+    tools/gen_reference_goldens.py."""
+    from rhealpixdggs_spark.functions.udfs import rhp_shape
+    from rhealpixdggs_spark.operators.tiling import grid
+
+    cells = grid(spark, 1).select("cell_id").unionByName(
+        grid(spark, 2).select("cell_id")
+    )
+    return cells.select("cell_id", rhp_shape(F.col("cell_id")).alias("shape"))
+
+
 def _q_neighbors_all(spark, sf_dir):
     """Full ellipsoidal neighbor relabel of EVERY res-2 cell — all
     486, including the cap (longitude-sorted), dart and skew-quad
@@ -1897,8 +1913,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     zone_intersect / zone_subtract, each with an independent
     recursive-CTE leaf-expansion SQL oracle), AND zone_dateline (the
     seam-column zone fix gated by an independent interval-arithmetic
-    model) and linetrace_dateline (reference executed on the nudged
-    sub-segments) — rotating OUT thirty-two
+    model), linetrace_dateline (reference executed on the nudged
+    sub-segments) and shape_all (every res-1/2 cell's
+    quad/cap/dart/skew label, reference executed per cell) — rotating
+    OUT thirty-three
     queries hash-green in BOTH prior rounds or in r02 (knn_brute,
     cell_metrics, topk_cells, tpch_returned_items, encode_cells_res5,
     knn_rings, hierarchy_ops, containment_packed, interval_scan,
@@ -1909,7 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     encode_points_res9, parent_rollup, containment_join,
     cell_from_region, grid_res3, knn_adaptive, cell_centroid_quads,
     minimal_cover, subcells, compress_cells, pip_polygon,
-    vector_to_raster, cosine_topk, each green in r01 AND r02), so
+    vector_to_raster, cosine_topk, lang_quality, each green in r01
+    AND r02), so
     after this round EVERY oracle-backed query has driver-green
     evidence on record. The tail (oracle-backed overflow + the three
     intentionally rows-only queries) stays covered by the local
@@ -1956,7 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "near_dup_embeddings": _q_near_dup_embeddings,
         "linetrace_dateline": _q_linetrace_dateline,
-        "lang_quality": _q_lang_quality,
+        "shape_all": _q_shape_all,
         "tpch_pricing": _q_tpch_pricing,
         "repetition_signals": _q_repetition_signals,
         "corpus_sample": _q_corpus_sample,
@@ -1983,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_polygon": _q_pip_polygon,
         "vector_to_raster": _q_vector_to_raster,
         "cosine_topk": _q_cosine_topk,
+        "lang_quality": _q_lang_quality,
         "cell_nucleus": _q_cell_nucleus,
         "cell_xy_range": _q_cell_xy_range,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2655,6 +2675,12 @@ def _decode_all_oracle_sql():
     )
 
 
+def _shape_all_oracle_sql():
+    rows = _ref_goldens()["shape_all"]["rows"]
+    vals = ", ".join(f"('{s}', '{sh}')" for s, sh in rows)
+    return f"SELECT cell_id, shape FROM (VALUES {vals}) t(cell_id, shape)"
+
+
 def _neighbors_all_oracle_sql():
     rows = _ref_goldens()["neighbors_all"]["rows"]
     vals = ", ".join(f"('{s}', '{d}', '{n}')" for s, d, n in rows)
@@ -3204,6 +3230,7 @@ def oracle_sql() -> dict[str, str]:
         "kring_sizes": _kring_sizes_oracle_sql(),
         "neighbors_all": _neighbors_all_oracle_sql(),
         "decode_all": _decode_all_oracle_sql(),
+        "shape_all": _shape_all_oracle_sql(),
         "polyfill_dateline": _polyfill_dateline_oracle_sql(),
         "zone_dateline": _zone_dateline_oracle_sql(),
         "linetrace_dateline": _linetrace_dateline_oracle_sql(),

@@ -213,6 +213,19 @@ def rhp_nucleus(cell_id: Column, cfg: DggsConfig = WGS84_003, plane: bool = Fals
     return _point_udf(cfg, lambda f, d: KC.nucleus(cfg, f, d, plane=plane))(cell_id)
 
 
+_SHAPE_LABELS = np.array(["quad", "cap", "dart", "skew_quad"], dtype=object)
+
+
+def rhp_shape(cell_id: Column, cfg: DggsConfig = WGS84_003) -> Column:
+    """suid -> ellipsoidal shape label 'quad' | 'cap' | 'dart' |
+    'skew_quad' (cell.ellipsoidal_shape, cell.py:1008-1059)."""
+
+    def fn(face, digits):
+        return _SHAPE_LABELS[KC.ellipsoidal_shape(cfg, face, digits)].tolist()
+
+    return _decode_udf(cfg, fn, T.StringType())(cell_id)
+
+
 def rhp_nw_vertex(cell_id: Column, cfg: DggsConfig = WGS84_003) -> Column:
     """suid -> struct(lon, lat) holding the PLANAR (x, y) of the
     ellipsoidal northwest vertex (cell.py:534-653: ul_vertex for

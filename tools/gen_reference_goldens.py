@@ -414,6 +414,38 @@ def _round9(v) -> float:
     return 0.0 if f == 0.0 else f
 
 
+def gen_shapes(ref) -> list[list]:
+    """Cell.ellipsoidal_shape (cell.py:1008-1059) executed for every
+    res-1 AND res-2 cell — the full quad/cap/dart/skew classification
+    that gates vertex ordering, centroid formulas and neighbor
+    relabels."""
+    import numpy as np
+
+    from rhealpixdggs_spark.kernel import cells as KCells
+    from rhealpixdggs_spark.kernel.constants import CELLS0
+
+    labels = np.array(["quad", "cap", "dart", "skew_quad"], dtype=object)
+    rdggs = ref.dggs.WGS84_003
+    digits = [str(i) for i in range(9)]
+    suids = [f + a for f in CELLS0 for a in digits] + [
+        f + a + b for f in CELLS0 for a in digits for b in digits
+    ]
+    farr, darr1 = KCells.parse_suids(np.array(suids[:54]))
+    k1 = labels[KCells.ellipsoidal_shape(WGS84_003, farr, darr1)]
+    farr2, darr2 = KCells.parse_suids(np.array(suids[54:]))
+    k2 = labels[KCells.ellipsoidal_shape(WGS84_003, farr2, darr2)]
+    kshapes = list(k1) + list(k2)
+    rows = []
+    for suid, ks in zip(suids, kshapes):
+        cell = ref.cell.Cell(
+            rdggs=rdggs, suid=(suid[0],) + tuple(int(x) for x in suid[1:])
+        )
+        rs = cell.ellipsoidal_shape()
+        assert rs == ks, f"shape({suid}): reference {rs} != kernel {ks}"
+        rows.append([suid, rs])
+    return rows
+
+
 def gen_decode(ref) -> list[list]:
     import numpy as np
 
@@ -506,6 +538,10 @@ def main() -> None:
             "res": LINE_RES,
             "segment": [list(p) for p in DATELINE_SEG],
             "rows": gen_linetrace_dateline(ref),
+        },
+        "shape_all": {
+            "res": [1, 2],
+            "rows": gen_shapes(ref),
         },
     }
     path = os.path.join(DATA_DIR, "ref_goldens.json")
