@@ -36,11 +36,80 @@ def _spark(master: str):
     return get_spark(app_name="bench", master=master)
 
 
+_SF_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Per-table key columns shifted by (max_key + 1) * replica so every
+# replica keeps internally-consistent joins (FK columns shift by the
+# REFERENCED table's stride).
+_SF_KEYS = {
+    "orders": [("o_orderkey", "orders"), ("o_custkey", "customer")],
+    "lineitem": [
+        ("l_orderkey", "orders"),
+        ("l_partkey", "part"),
+        ("l_suppkey", "supplier"),
+    ],
+    "customer": [("c_custkey", "customer")],
+    "supplier": [("s_suppkey", "supplier")],
+    "part": [("p_partkey", "part")],
+    "events": [("event_id", "events"), ("user_id", "_user")],
+    "documents": [("doc_id", "documents")],
+    "embeddings": [("vec_id", "embeddings")],
+}
+_SF_PK = {
+    "orders": "o_orderkey", "customer": "c_custkey",
+    "supplier": "s_suppkey", "part": "p_partkey",
+    "events": "event_id", "documents": "doc_id",
+    "embeddings": "vec_id", "_user": "user_id",
+}
+
+
+def replicated_sf(spark, base_dir: str, mult: int) -> str:
+    """Deterministic scale-up of a testdata SF directory: every table
+    is unioned `mult` times with key columns shifted by
+    (max_key + 1) * replica — schemas identical, join fan-outs
+    preserved, row counts x mult (the sf0.1 -> sf1 jump the round-4
+    verdict asks to measure). Cached under /tmp per (base, mult)."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/rhp_sf_x{mult}_" + base_dir.rstrip("/").split("sf")[-1]
+    if os.path.exists(os.path.join(out, "_done")):
+        return out
+    strides = {}
+    for t, pk in _SF_PK.items():
+        src = "events" if t == "_user" else t
+        df = spark.read.parquet(f"{base_dir}/{src}.parquet")
+        strides[t] = df.agg(F.max(pk)).first()[0] + 1
+    for t in _SF_TABLES:
+        df = spark.read.parquet(f"{base_dir}/{t}.parquet")
+        if t in ("region", "nation") or t not in _SF_KEYS:
+            df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+            continue
+        rep = df.crossJoin(spark.range(mult).select(F.col("id").alias("_r")))
+        for col, ref in _SF_KEYS[t]:
+            rep = rep.withColumn(
+                col, F.col(col) + F.col("_r") * F.lit(strides[ref])
+            )
+        rep.drop("_r").write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    with open(os.path.join(out, "_done"), "w") as f:
+        f.write("ok")
+    return out
+
+
 def _pages_count(sf_dir: str) -> int:
     # Scale the synthetic pages table with the SF (lineitem-sized).
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    p = f"{sf_dir}/lineitem.parquet"
+    if os.path.isdir(p):  # Spark-written replicated SF dirs
+        return sum(
+            pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(p).metadata.num_rows
 
 
 def _pages_parquet(spark, sf_dir: str, n: int | None = None) -> tuple[str, int]:
@@ -140,6 +209,7 @@ def run_headline(spark, sf_dir: str) -> dict:
     def _polyfill_fleet(spark, sf_dir):
         # 50-polygon fleet rasterized at res 5 in ONE plan (no
         # per-polygon unions) — the many-zone tiling throughput shape.
+        # Same definition as r1-r3 for cross-round comparability.
         from rhealpixdggs_spark.operators.tiling import polyfill_many
 
         zones = {
@@ -151,9 +221,27 @@ def run_headline(spark, sf_dir: str) -> dict:
         }
         return polyfill_many(spark, zones, 5)
 
+    def _polyfill_fleet_mixed(spark, sf_dir):
+        # Round 4: same fleet but every 10th polygon reaches the north
+        # polar cap — exercises the closed-form annulus cap generator
+        # + nucleus-lon prune + Gauss-Legendre dart/skew centroids
+        # alongside the band spans, still one plan. Benched separately
+        # so polyfill_fleet's own number stays comparable to r1-r3.
+        from rhealpixdggs_spark.operators.tiling import polyfill_many
+
+        zones = {}
+        for i in range(50):
+            top = 70.0 if i % 10 == 0 else 10.0
+            zones[f"z{i}"] = [([
+                (-160.0 + i * 6.0, -20.0), (-154.0 + i * 6.0, -22.0),
+                (-157.0 + i * 6.0, top),
+            ], [])]
+        return polyfill_many(spark, zones, 5)
+
     qs = dict(entrymod.queries())
     qs["minhash_sig_xxhash64"] = _minhash_scale_path
     qs["polyfill_fleet"] = _polyfill_fleet
+    qs["polyfill_fleet_mixed"] = _polyfill_fleet_mixed
     for name in [
         "encode_points_res9",
         "parent_rollup",
@@ -166,6 +254,7 @@ def run_headline(spark, sf_dir: str) -> dict:
         "revenue_by_nation",
         "raster_to_vector",
         "polyfill_fleet",
+        "polyfill_fleet_mixed",
         "curation_pipeline",
     ]:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -339,15 +428,42 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pages", type=int, default=None)
     ap.add_argument("--points", type=int, default=None)
+    ap.add_argument(
+        "--sf-mult", type=int, default=None,
+        help="replicate --sf-dir by this factor (key-shifted, "
+        "replicated_sf) and bench the scaled copy — the sf0.1 -> sf1 "
+        "jump is --sf-dir /root/testdata/sf0.1 --sf-mult 10",
+    )
+    ap.add_argument(
+        "--masters", default=None,
+        help="comma-separated core counts for --scaling (default 2,8,16,32)",
+    )
+    ap.add_argument(
+        "--scaling-out", default="scaling.json",
+        help="artifact name under BENCH/ for --scaling",
+    )
     args = ap.parse_args()
+
+    if args.sf_mult:
+        spark = _spark(args.master)
+        try:
+            scaled = replicated_sf(spark, args.sf_dir, args.sf_mult)
+        finally:
+            spark.stop()
+        args.sf_dir = scaled
 
     if args.single_run:
         print(json.dumps(single_run(args.master, args.sf_dir, args.pages, args.points)))
         return
     if args.scaling:
-        res = scaling_protocol(args.sf_dir)
+        masters = (
+            tuple(int(m) for m in args.masters.split(","))
+            if args.masters
+            else (2, 8, 16, 32)
+        )
+        res = scaling_protocol(args.sf_dir, masters=masters)
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        path = os.path.join(REPO, "BENCH", "scaling.json")
+        path = os.path.join(REPO, "BENCH", args.scaling_out)
         # Keep every prior protocol run in the artifact (run-to-run
         # spread is committed evidence, not something a rerun silently
         # replaces) — same convention as jobs/two_size_scaling.sh.
@@ -376,7 +492,11 @@ def main():
         res = run_headline(spark, args.sf_dir)
     finally:
         spark.stop()
-    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    if args.sf_mult:
+        # replicated dir name ends with the BASE sf (replicated_sf)
+        sf = str(float(args.sf_dir.rstrip("/").rsplit("_", 1)[-1]) * args.sf_mult)
+    else:
+        sf = args.sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline suite wall time (encode+join pages pipeline "
                   "res9->res2 + spatial/dedup/similarity/relational queries; "

@@ -583,6 +583,28 @@ def split_antimeridian(polygons, radians: bool = False) -> list:
     return out
 
 
+def ring_crosses_dateline(ring, radians: bool = False) -> bool:
+    """True iff the exterior ring crosses the antimeridian under
+    either input convention split_antimeridian accepts: raw
+    consecutive-lon jumps > 180° (wrapped form) or longitudes
+    continuing past +/-180 (unwrapped form). Uses the same
+    unwrap-then-seam-scan as split_antimeridian, so detection and
+    split agree exactly."""
+    half = np.pi if radians else 180.0
+    lons = np.asarray([p[0] for p in ring], dtype=np.float64)
+    for i in range(1, len(lons)):
+        while lons[i] - lons[i - 1] > half:
+            lons[i] -= 2 * half
+        while lons[i] - lons[i - 1] < -half:
+            lons[i] += 2 * half
+    lo, hi = float(lons.min()), float(lons.max())
+    k_lo = int(np.ceil((lo / half - 1) / 2))
+    k_hi = int(np.floor((hi / half - 1) / 2))
+    return any(
+        lo < (2 * k + 1) * half < hi for k in range(k_lo, k_hi + 1)
+    )
+
+
 def cells_from_line(cfg: DggsConfig, resolution: int, lstart, lend, plane=True) -> list[str]:
     """Neighbor-walk along a segment (dggs.py:1096-1179). Carries the
     reference's documented limitations: no antimeridian crossing, cap
@@ -632,7 +654,20 @@ def _split_segment_dateline(a, b, half: float):
     (raw-jump form: |dlon| > half means the short way around). Returns
     the list of sub-segments, inner endpoints nudged 1e-9 deg inside
     each hemisphere so they encode to the seam-adjacent cell on the
-    correct side (1e-9 deg is ~3 orders below the res-15 cell width)."""
+    correct side (1e-9 deg is ~3 orders below the res-15 cell width).
+
+    Endpoints exactly ON the seam (lon == +/-half, common in pre-split
+    GeoJSON) name the same meridian in either sign; rewrite their sign
+    toward the other endpoint's hemisphere BEFORE the crossing test, so
+    (180, y) -> (-175, y2) is the pure east-side segment and never
+    yields a spurious t == 0 west-side sub-segment."""
+    if abs(a[0]) == half and abs(b[0]) == half:
+        # Both endpoints on the seam: one segment along a's meridian.
+        return [(a, (a[0], b[1]))]
+    if abs(a[0]) == half:
+        a = (half if b[0] > 0 else -half, a[1])
+    if abs(b[0]) == half:
+        b = (half if a[0] > 0 else -half, b[1])
     dlon = b[0] - a[0]
     if abs(dlon) <= half:
         return [(a, b)]

@@ -344,7 +344,7 @@ def polygon_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     max_driver_cells: int = 100_000,
-    split_dateline: bool = False,
+    split_dateline: bool | None = None,
 ) -> DataFrame:
     """Point-in-polygon spatial join against a (small) polygon table —
     the north-star "point-in-polygon tests against tile boundaries"
@@ -368,13 +368,17 @@ def polygon_join(
     [(lon, lat), ...]. Returns the matching points with a `zone`
     column; points in several zones appear once per zone.
 
-    Dateline handling: by default, polygons must NOT cross the
-    antimeridian — the bbox prefilter covers
+    Dateline handling: the bbox prefilter covers
     (min lon, max lat)-(max lon, min lat), so a dateline-wrapping ring
-    would be covered across the wrong hemisphere band and silently
-    drop matches. Pass split_dateline=True to cut crossing rings at
-    the seam into two polygons of the same zone automatically
-    (kernel regions.split_antimeridian). A zone may appear in several
+    fed to it raw would be covered across the wrong hemisphere band
+    and silently drop matches. By default (split_dateline=None)
+    crossing rings are DETECTED (any consecutive raw lon jump > 180°,
+    closing edge included) and cut at the seam into two polygons of
+    the same zone automatically (kernel regions.split_antimeridian) —
+    a user who forgets the flag gets right answers, not silent partial
+    ones (VERDICT r3 item 4). split_dateline=True forces the split
+    path for every polygon; split_dateline=False asserts none cross
+    and raises ValueError if one does. A zone may appear in several
     (zone, ext, holes) entries either way (multipolygon zones); the
     refine pass ORs over all its parts.
     """
@@ -387,7 +391,19 @@ def polygon_join(
     from .tiling import region_cover_ell_df
 
     spark = points.sparkSession
-    if split_dateline:
+    crossing = [
+        zone
+        for zone, ext, _ in polygons
+        if KR.ring_crosses_dateline(ext, radians=cfg.radians)
+    ]
+    if split_dateline is False and crossing:
+        raise ValueError(
+            "polygon_join(split_dateline=False): zones "
+            f"{sorted(set(crossing))[:5]} cross the antimeridian; the "
+            "bbox prefilter would silently drop matches — pass "
+            "split_dateline=True/None to auto-split at the seam"
+        )
+    if split_dateline or (split_dateline is None and crossing):
         polygons = [
             (zone, e2, h2)
             for zone, ext, holes in polygons

@@ -9,12 +9,14 @@ run as Arrow-batched ``mapInPandas`` so each Python worker sees a
 whole batch of payloads at once and NumPy processes them without
 per-row Python.
 
-The sandbox has no image/audio codecs (no PIL/av/librosa), so the
-*codec* step is stubbed: ``decode_image`` falls back to a
-deterministic fake decode and ``resize_image`` raises
-``NotImplementedError`` unless PIL is importable. Everything around
-the codec — schemas, batch shapes, partitioning, frame sampling, byte
-features — is real and tested.
+Codec status: binary P6 PPM (uncompressed portable pixmap) has a REAL
+pure-NumPy encoder/decoder pair (``encode_ppm`` / ``parse_ppm``,
+oracle-gated end to end by the driver's ``image_decode`` query);
+compressed formats would go through PIL, absent in this sandbox, so
+``decode_image`` falls back to a clearly-marked deterministic fake for
+non-PPM payloads and ``resize_image`` stays a declared stub.
+Everything around the codecs — schemas, batch shapes, partitioning,
+frame sampling, byte features — is real and tested.
 """
 
 from __future__ import annotations
@@ -221,13 +223,110 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
+def encode_ppm(doc_ids, widths, heights) -> list[bytes]:
+    """Deterministic binary P6 PPM payloads (the uncompressed portable
+    pixmap format — magic, whitespace/comment header, maxval, raw RGB
+    bytes). Pixel k of document d is (d*31 + 7k) mod 256, so a decoder
+    and a byte-math oracle can both re-derive the image from the id
+    alone. Every 5th document carries a '#' comment line to exercise
+    the parser's comment handling."""
+    out = []
+    for d, w, h in zip(doc_ids, widths, heights):
+        d, w, h = int(d), int(w), int(h)
+        comment = b"# synthetic fixture\n" if d % 5 == 0 else b""
+        header = b"P6\n" + comment + f"{w} {h}\n255\n".encode()
+        n = w * h * 3
+        px = ((d * 31 + 7 * np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)
+        out.append(header + px.tobytes())
+    return out
+
+
+def attach_ppm_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Multimodal table whose payload column holds REAL encoded image
+    bytes (binary P6 PPM, encode_ppm) with dims derived from the doc
+    id: width = id%64+1, height = id%48+1. Same output shape as
+    attach_payload; built in one Arrow mapInPandas pass."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_TYPE),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype(np.int64).to_numpy()
+            w = ids % 64 + 1
+            h = ids % 48 + 1
+            payloads = encode_ppm(ids, w, h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"width": int(wi), "height": int(hi),
+                         "n_frames": 1, "sample_rate": 0}
+                        for wi, hi in zip(w, h)
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(build, schema)
+
+
+def parse_ppm(buf: bytes):
+    """Pure-NumPy decoder for binary P6 PPM (no PIL): magic, then
+    width/height/maxval tokens separated by whitespace with '#'
+    comments running to end-of-line, ONE whitespace byte, then
+    width*height*3 raw bytes (maxval < 256). Returns
+    (width, height, uint8 pixel array) or None if not P6."""
+    if len(buf) < 2 or buf[:2] != b"P6":
+        return None
+    pos, vals = 2, []
+    n = len(buf)
+    while len(vals) < 3:
+        while pos < n and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and buf[pos] == 0x23:  # '#' comment to EOL
+            while pos < n and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        vals.append(int(buf[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval >= 256:
+        raise ValueError("16-bit PPM not supported")
+    count = w * h * 3
+    px = np.frombuffer(buf, dtype=np.uint8, count=count, offset=pos)
+    return w, h, px
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id", meta_col: str = "meta") -> DataFrame:
-    """Decode step. With PIL installed it decodes real image bytes; in
-    this container (no codecs) it falls back to a CLEARLY-MARKED
-    deterministic fake: bytes tiled into the (width, height) from
-    metadata. The Spark plumbing (schema, Arrow batching, partition
-    preservation) is identical either way."""
+    """Decode step, in fallback order per payload:
+
+    1. binary P6 PPM -> REAL pure-NumPy decode (parse_ppm): parsed
+       width/height from the header, exact mean pixel value
+       (integer sum / count, bit-stable across engines),
+       decoded_by='ppm'. Oracle-gated end to end (the driver's
+       image_decode query re-derives header and pixels in DuckDB
+       byte math).
+    2. PIL, when importable, for any other format (absent offline).
+    3. CLEARLY-MARKED deterministic fake: payload bytes tiled into
+       the metadata (width, height), decoded_by='fake'.
+
+    The Spark plumbing (schema, Arrow batching, partition
+    preservation) is identical in every branch."""
     try:  # pragma: no cover - PIL absent in this container
         from PIL import Image  # noqa: F401
 
@@ -239,6 +338,17 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             rows = []
             for i, buf, meta in zip(pdf[id_col], pdf[payload_col], pdf["_w_h"]):
+                buf = bytes(buf)
+                ppm = parse_ppm(buf)
+                if ppm is not None:
+                    w, h, px = ppm
+                    mean = (
+                        float(int(px.sum(dtype=np.int64)) / px.size)
+                        if px.size
+                        else 0.0
+                    )
+                    rows.append((int(i), w, h, mean, "ppm"))
+                    continue
                 w, h = int(meta[0]), int(meta[1])
                 if have_pil:  # pragma: no cover
                     raise NotImplementedError(
@@ -246,7 +356,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
                     )
                 # FAKE DECODE (deterministic): tile payload bytes into
                 # the metadata raster shape.
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                b = np.frombuffer(buf, dtype=np.uint8)
                 px = np.resize(b, (h, w)) if b.size else np.zeros((h, w), np.uint8)
                 rows.append((int(i), w, h, float(px.mean()), "fake"))
             yield pd.DataFrame(

@@ -140,15 +140,56 @@ def _bucket_expr(col: Column, dtype, width) -> Column:
     return F.floor(col.cast("double") / F.lit(float(width))).cast("long")
 
 
+def choose_bucket_width(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    rows_per_bucket: int = 65_536,
+):
+    """Derive a bucket width from a one-pass sketch of the inputs
+    (VERDICT r3 item 6): per-key counts + the global `on` range via a
+    map-side-combining aggregation (shuffle size = #distinct keys, not
+    #rows). The width is chosen so the HEAVIEST key lands
+    ~`rows_per_bucket` rows per (key, bucket):
+
+        n_buckets = ceil(max_key_rows / rows_per_bucket)
+        width     = on_range / n_buckets
+
+    Returns seconds for timestamp `on` columns, column units for
+    numeric ones (what `asof_join_bucketed` expects)."""
+    import datetime
+    import math
+
+    both = left.select(by, on).unionByName(right.select(by, on))
+    per_key = both.groupBy(by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(on).alias("_mn"),
+        F.max(on).alias("_mx"),
+    )
+    row = per_key.agg(
+        F.max("_n").alias("n"), F.min("_mn").alias("mn"), F.max("_mx").alias("mx")
+    ).first()
+    if row is None or row["n"] is None:
+        return 1.0
+    span = row["mx"] - row["mn"]
+    if isinstance(span, datetime.timedelta):
+        span = span.total_seconds()
+    span = float(span)
+    n_buckets = max(1, math.ceil(int(row["n"]) / max(1, rows_per_bucket)))
+    return max(span / n_buckets, 1e-9)
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,
     on: str,
     by: str,
-    bucket_width,
+    bucket_width="auto",
     right_cols: list[str] | None = None,
     tolerance=None,
     suffix: str = "_r",
+    rows_per_bucket: int = 65_536,
 ) -> DataFrame:
     """Scale variant of :func:`asof_join` with BOUNDED window
     partitions: rows are windowed per (key, time-bucket) instead of
@@ -182,7 +223,15 @@ def asof_join_bucketed(
 
     `tolerance` works unchanged: the carried ts is the matched row's
     real timestamp, wherever it came from.
+
+    bucket_width="auto" (the default) derives the width from a
+    one-pass key-frequency + range sketch (choose_bucket_width) sized
+    by `rows_per_bucket`; pass an explicit number to pin it.
     """
+    if bucket_width == "auto":
+        bucket_width = choose_bucket_width(
+            left, right, on, by, rows_per_bucket=rows_per_bucket
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
     carried = {c: c + suffix if c in left.columns else c for c in right_cols}

@@ -28,6 +28,30 @@ from ..kernel import regions as KR
 from ..kernel.constants import WGS84_003, DggsConfig
 
 
+def _resolve_split_dateline(polys, split_dateline, cfg, opname: str):
+    """Shared dateline policy for the polygon-list operators
+    (VERDICT r3 item 4): `polys` is [(exterior, holes), ...].
+    split_dateline=None (default) detects crossing rings and
+    auto-splits them; True forces the split path; False asserts none
+    cross and raises ValueError so a forgotten flag can never produce
+    silently-partial covers."""
+    crossing = [
+        i
+        for i, (ext, _h) in enumerate(polys)
+        if KR.ring_crosses_dateline(ext, radians=cfg.radians)
+    ]
+    if split_dateline is False and crossing:
+        raise ValueError(
+            f"{opname}(split_dateline=False): polygon(s) "
+            f"{crossing[:5]} cross the antimeridian; the bbox cover "
+            "would silently drop cells — pass split_dateline=True/None "
+            "to auto-split at the seam"
+        )
+    if split_dateline or (split_dateline is None and crossing):
+        return KR.split_antimeridian(polys, radians=cfg.radians)
+    return list(polys)
+
+
 def grid(spark: SparkSession, resolution: int, cfg: DggsConfig = WGS84_003,
          partitions: int | None = None) -> DataFrame:
     """All cells at a resolution as (cell_id string, cell_idx long).
@@ -427,7 +451,7 @@ def polyfill_df(
     cfg: DggsConfig = WGS84_003,
     plane: bool = False,
     compress: bool = False,
-    split_dateline: bool = False,
+    split_dateline: bool | None = None,
 ) -> DataFrame:
     """Distributed polyfill (rhp_wrappers.py:510-599 semantics, same
     result set as kernel polyfill): per polygon, candidates come from
@@ -437,19 +461,21 @@ def polyfill_df(
     (points_in_polygon_col) — no driver-side cell list at any point.
     Output: (tile_id, res, zone).
 
-    Dateline handling: by default, same limitation as the reference's
-    bbox assumption (rhp_wrappers.py:510-599 'TODO: decide what to do
-    with the antimeridian') — rings must not cross +/-180. Pass
-    split_dateline=True to lift it: crossing rings (given unwrapped,
-    or with raw >180-degree jumps) are cut at the seam into west/east
-    polygons of the same zone (kernel regions.split_antimeridian)
-    before candidate generation."""
+    Dateline handling (the reference's own bbox assumption is its
+    documented antimeridian TODO, rhp_wrappers.py:510-599): crossing
+    rings (given unwrapped, or with raw >180-degree jumps) are
+    detected and auto-split at the seam into west/east polygons of
+    the same zone (kernel regions.split_antimeridian) before
+    candidate generation when split_dateline is None (default);
+    True forces the split path, False raises on a crossing ring."""
     from ..functions.udfs import rhp_centroid
 
     zones = []
     for name, polys in polygons.items():
-        if split_dateline and not plane:
-            polys = KR.split_antimeridian(polys, radians=cfg.radians)
+        if not plane:
+            polys = _resolve_split_dateline(
+                polys, split_dateline, cfg, f"polyfill_df[{name}]"
+            )
         cand = None
         for exterior, holes in polys:
             ext = np.asarray(exterior, dtype=np.float64)
@@ -492,7 +518,7 @@ def zone_from_poly_df(
     cfg: DggsConfig = WGS84_003,
     bounding_cell: str | None = None,
     checkpoint: bool = True,
-    split_dateline: bool = False,
+    split_dateline: bool | None = None,
 ) -> DataFrame:
     """Distributed CellZoneFromPoly (reference conversion.py:40-111;
     the SURVEY section 2.6 'iterative DataFrame loop res 0->limit'):
@@ -519,14 +545,17 @@ def zone_from_poly_df(
     Output: (cell_id string, res int), one row per zone cell, same
     cell set as the kernel / reference recursion.
 
-    split_dateline=True normalizes dateline-crossing polygons through
-    kernel regions.split_antimeridian first (the classify kernel's
-    even-odd test assumes rings within [-180, 180])."""
+    Dateline-crossing polygons are detected and normalized through
+    kernel regions.split_antimeridian by default (split_dateline=None;
+    the classify kernel's even-odd test assumes rings within
+    [-180, 180]); True forces the split, False raises on a crossing
+    ring."""
     from ..kernel import zones as KZ
     from ..kernel.constants import CELLS0
 
-    if split_dateline:
-        polygons = KR.split_antimeridian(polygons, radians=cfg.radians)
+    polygons = _resolve_split_dateline(
+        polygons, split_dateline, cfg, "zone_from_poly_df"
+    )
     geom = KZ._Geometry(polygons)
     if bounding_cell is None:
         bc = KZ.get_finest_containing_cell(cfg, polygons)
@@ -612,15 +641,16 @@ def zone_tiles(
     polygons: dict[str, list],
     res_limit: int,
     cfg: DggsConfig = WGS84_003,
-    split_dateline: bool = False,
+    split_dateline: bool | None = None,
 ) -> DataFrame:
     """Named multi-resolution zone table (tile_id, res, zone) — the
     CellZoneFromPoly twin of polyfill_df's output shape: one
     distributed zone loop (zone_from_poly_df) per named zone, unioned.
     The result is the compact tile side for containment_join /
     streaming_zone_assignment. `polygons` maps zone name ->
-    [(exterior_ring, holes), ...]; split_dateline=True normalizes
-    dateline-crossing rings per zone first."""
+    [(exterior_ring, holes), ...]; dateline-crossing rings are
+    detected and auto-split per zone by default (None); True forces
+    the split, False raises on a crossing ring."""
     parts = [
         zone_from_poly_df(
             spark, polys, res_limit, cfg, split_dateline=split_dateline
@@ -643,7 +673,7 @@ def zone_tiles_many(
     res_limit: int,
     cfg: DggsConfig = WGS84_003,
     checkpoint: bool = True,
-    split_dateline: bool = False,
+    split_dateline: bool | None = None,
 ) -> DataFrame:
     """Lock-step distributed CellZoneFromPoly for MANY named zones:
     one (zone, cell_id) frontier advances all zones together, so a
@@ -664,11 +694,12 @@ def zone_tiles_many(
     from ..kernel import zones as KZ
     from ..kernel.constants import CELLS0
 
-    if split_dateline:
-        polygons = {
-            name: KR.split_antimeridian(polys, radians=cfg.radians)
-            for name, polys in polygons.items()
-        }
+    polygons = {
+        name: _resolve_split_dateline(
+            polys, split_dateline, cfg, f"zone_tiles_many[{name}]"
+        )
+        for name, polys in polygons.items()
+    }
     geoms = {name: KZ._Geometry(polys) for name, polys in polygons.items()}
     emit_rows: list[tuple[str, str]] = []
     frontier_rows: list[tuple[str, str]] = []
@@ -760,23 +791,38 @@ def polyfill_many(
     res: int,
     cfg: DggsConfig = WGS84_003,
     partitions: int | None = None,
+    split_dateline: bool | None = None,
 ) -> DataFrame:
-    """Lock-step polyfill for MANY equatorial-band polygons in ONE
-    plan: a single candidate generator (per-polygon row/column spans,
-    sequence-exploded Spark-side), one index->suid pass, one centroid
-    decode pass, and one per-zone even-odd filter — no per-polygon
-    union, so 10k polygons rasterize with the same 3-operator plan as
-    one. Correctness needs no lattice parity: candidates are a PADDED
-    SUPERSET of each bbox cover and the centroid-in-polygon filter
-    (rhp_wrappers.py:510-599 semantics, same as polyfill_df) decides
-    membership.
+    """Lock-step polyfill for MANY polygons in ONE plan: a single
+    band-candidate generator (per-polygon row/column spans,
+    sequence-exploded Spark-side) plus ONE cap-row walk generator for
+    polygons reaching the polar caps, a shared packed-int64 dedupe,
+    one index->suid pass, one centroid decode pass, and one per-zone
+    even-odd filter — no per-polygon union, so a mixed 10k-polygon
+    fleet rasterizes with one plan. Correctness needs no lattice
+    parity: candidates are a PADDED SUPERSET of each bbox cover and
+    the centroid-in-polygon filter (rhp_wrappers.py:510-599 semantics,
+    same as polyfill_df) decides membership.
 
-    Restriction: every polygon must lie inside the equatorial band
-    (|lat| <= the cap boundary) and not cross the antimeridian —
-    polygons reaching the caps go through polyfill_df / zone_tiles.
-    Raises ValueError otherwise. Output: (tile_id, res, zone)."""
-    import math
+    Cap candidates (|planar y| >= R*pi/4) come from a CLOSED FORM: in
+    the assembled polar face a parallel's image is the square ring of
+    infinity-norm radius u = R*pi/2 - |y| around the face center
+    (dggs.py:1060-1094's geometry), so the polygon's cap portion maps
+    to a square ANNULUS of cells [A, B] in cell units. A cell whose
+    centroid lies in the polygon has its centroid's u inside
+    [u(lat_max), u(cap edge)], and the centroid sits inside the cell's
+    planar square, so the cell's box-distance interval intersects the
+    annulus — candidates are a proven superset, generated as <= 2
+    column spans per face row (sequence-exploded, pure column math,
+    no per-cell Python; the over-generation for a lon-narrow cap
+    polygon is bounded by the annulus area and the centroid filter
+    drops it — zone_tiles does perimeter-proportional work if that
+    matters).
 
+    Dateline: crossing rings are detected (same unwrap-seam scan as
+    split_antimeridian) and auto-split into same-zone parts when
+    split_dateline is None (the default); True forces the split path,
+    False raises if any ring crosses. Output: (tile_id, res, zone)."""
     from ..functions.udfs import rhp_centroid
     from ..kernel.regions import healpix_forward_cfg
 
@@ -784,10 +830,19 @@ def polyfill_many(
     w = cfg.cell_width(res)
     n3 = cfg.N_side**res
     band = R * np.pi / 4
-    cap_lat = math.degrees(math.asin(2.0 / 3)) if not cfg.radians else math.asin(2.0 / 3)
+    y_pole = R * np.pi / 2
+
+    polygons = {
+        zone: _resolve_split_dateline(
+            polys, split_dateline, cfg, f"polyfill_many[{zone}]"
+        )
+        for zone, polys in polygons.items()
+    }
 
     rows = []
+    cap_rows = []
     lookup = {}
+    lon_bbox: dict[str, tuple[float, float]] = {}
     for zone, polys in polygons.items():
         lookup[zone] = [
             (
@@ -798,23 +853,46 @@ def polyfill_many(
         ]
         for ext, _holes in polys:
             arr = np.asarray(ext, dtype=np.float64)
-            if np.any(np.abs(arr[:, 1]) > cap_lat):
-                raise ValueError(
-                    f"polyfill_many: polygon in zone {zone!r} reaches the "
-                    "polar caps; use polyfill_df / zone_tiles for it"
-                )
             _, y_lo = healpix_forward_cfg(
                 cfg, np.array([0.0]), np.array([arr[:, 1].min()])
             )
             _, y_hi = healpix_forward_cfg(
                 cfg, np.array([0.0]), np.array([arr[:, 1].max()])
             )
-            row0 = max(0, int((band - float(y_hi[0])) // w) - 1)
-            row1 = min(n3 - 1, int((band - float(y_lo[0])) // w) + 1)
+            y_lo, y_hi = float(y_lo[0]), float(y_hi[0])
+            lam0d = float(arr[:, 0].min())
+            lam1d = float(arr[:, 0].max())
+            if zone in lon_bbox:
+                lon_bbox[zone] = (
+                    min(lon_bbox[zone][0], lam0d),
+                    max(lon_bbox[zone][1], lam1d),
+                )
+            else:
+                lon_bbox[zone] = (lam0d, lam1d)
+            row0 = max(0, int((band - y_hi) // w) - 1)
+            row1 = min(n3 - 1, int((band - y_lo) // w) + 1)
             lam = np.radians(arr[:, 0]) if not cfg.radians else arr[:, 0]
             gc0 = max(0, int((R * lam.min() + R * np.pi) // w) - 1)
             gc1 = min(4 * n3 - 1, int((R * lam.max() + R * np.pi) // w) + 1)
-            rows.append((zone, row0, row1, gc0, gc1))
+            if row1 >= row0:  # pure-cap polygons have no band rows
+                # (and sequence(row0, row1) would run DESCENDING)
+                rows.append((zone, row0, row1, gc0, gc1))
+            # Cap portions as square annuli [A, B] in cell units
+            # (+/- 1 cell insurance on top of the proven superset).
+            if y_hi >= band:  # north cap, face N = 0
+                u_in = y_pole - min(y_hi, y_pole)
+                u_out = y_pole - max(y_lo, band)
+                cap_rows.append(
+                    (zone, 0, max(0.0, u_in / w - 1),
+                     min(n3 / 2.0, u_out / w + 1))
+                )
+            if y_lo <= -band:  # south cap, face S = 5
+                u_in = min(y_hi, -band) + y_pole
+                u_out = max(y_lo, -y_pole) + y_pole
+                cap_rows.append(
+                    (zone, 5, max(0.0, min(u_in, u_out) / w - 1),
+                     min(n3 / 2.0, max(u_in, u_out) / w + 1))
+                )
 
     spans = spark.createDataFrame(
         rows, "zone string, row0 long, row1 long, gc0 long, gc1 long"
@@ -853,8 +931,121 @@ def polyfill_many(
     # decode + centroid Arrow passes across the full shuffle
     # parallelism instead of the few input partitions of the tiny
     # spans table.
+    keyed = g.select("zone", idx.alias("_idx"))
+    if cap_rows:
+        capdf = spark.createDataFrame(
+            cap_rows, "zone string, face long, a double, b double"
+        )
+        if partitions:
+            capdf = capdf.repartition(partitions)
+        half = F.lit(n3 / 2.0)
+        i_lo = F.greatest(F.lit(0), F.floor(half - F.col("b")).cast("long") - 1)
+        i_hi = F.least(
+            F.lit(n3 - 1), F.ceil(half + F.col("b")).cast("long")
+        )
+        gi = capdf.select(
+            "zone", "face", "a", "b",
+            F.explode(F.sequence(i_lo, i_hi)).alias("fi"),
+        )
+        # Box infinity-distance interval of face row fi from the face
+        # center, in cell units: rows whose NEAREST edge is outside B
+        # drop; rows whose FARTHEST edge reaches past A keep one full
+        # span, interior rows keep the two annulus flanks.
+        dlo_i = F.greatest(
+            half - (F.col("fi") + 1), F.col("fi") - half, F.lit(0.0)
+        )
+        dhi_i = F.greatest(
+            F.abs(F.col("fi") - half), F.abs(F.col("fi") + 1 - half)
+        )
+        jl = F.greatest(F.lit(0), F.floor(half - F.col("b")).cast("long") - 1)
+        jr = F.least(F.lit(n3 - 1), F.ceil(half + F.col("b")).cast("long"))
+        j_in_l = F.floor(half - F.col("a")).cast("long")
+        j_in_r = F.ceil(half + F.col("a")).cast("long") - 1
+        spans = (
+            gi.where(dlo_i <= F.col("b"))
+            .select(
+                "zone", "face", "fi",
+                F.explode(
+                    F.when(
+                        dhi_i >= F.col("a"),
+                        F.array(F.struct(jl.alias("j0"), jr.alias("j1"))),
+                    ).otherwise(
+                        F.array(
+                            F.struct(
+                                jl.alias("j0"),
+                                F.least(j_in_l, jr).alias("j1"),
+                            ),
+                            F.struct(
+                                F.greatest(j_in_r, jl).alias("j0"),
+                                jr.alias("j1"),
+                            ),
+                        )
+                    )
+                ).alias("s"),
+            )
+            .select("zone", "face", "fi", F.col("s.j0"), F.col("s.j1"))
+            .where(F.col("j0") <= F.col("j1"))
+        )
+        gj = spans.select(
+            "zone", "face", "fi", F.explode(F.sequence("j0", "j1")).alias("fj")
+        )
+        # Nucleus-longitude prune BEFORE the expensive Gauss-Legendre
+        # centroid pass: a full annulus over-generates ~360/wedge-width
+        # for a lon-narrow cap polygon, and each dart/skew centroid
+        # costs a 900-point inverse-projection integral. The nucleus
+        # is a single inverse projection per cell (straight from the
+        # planar center, no suid), and |centroid lon - nucleus lon| is
+        # bounded by the cell's lon span <= 45deg/dlo (a ring side of
+        # 2*dlo cells maps to 90deg) — the pad 180/max(dlo, 0.5) is 4x
+        # that, so every centroid-inside cell survives the prune.
+        dlo_j = F.greatest(
+            half - (F.col("fj") + 1), F.col("fj") - half, F.lit(0.0)
+        )
+        dlo_cell = F.greatest(dlo_i, dlo_j)
+        pad = F.lit(180.0) / F.greatest(dlo_cell, F.lit(0.5))
+
+        @pandas_udf(T.DoubleType())
+        def _cap_nuc_lon(face_s: pd.Series, fi_s: pd.Series,
+                         fj_s: pd.Series) -> pd.Series:
+            from ..kernel.rhealpix import rhealpix_inverse
+
+            f = face_s.to_numpy(dtype=np.int64)
+            i_a = fi_s.to_numpy(dtype=np.int64)
+            j_a = fj_s.to_numpy(dtype=np.int64)
+            ulx = np.array([cfg.ul_vertex_face(k)[0] for k in range(6)])
+            uly = np.array([cfg.ul_vertex_face(k)[1] for k in range(6)])
+            x = ulx[f] + (j_a + 0.5) * w
+            y = uly[f] - (i_a + 0.5) * w
+            lo, _ = rhealpix_inverse(cfg, x, y)
+            return pd.Series(lo, index=face_s.index)
+
+        bbox_rows = [
+            (z, (lam0 + lam1) / 2.0, (lam1 - lam0) / 2.0)
+            for z, (lam0, lam1) in lon_bbox.items()
+        ]
+        bboxes = F.broadcast(
+            spark.createDataFrame(
+                bbox_rows, "zone string, lam_mid double, lam_half double"
+            )
+        )
+        circ = F.abs(
+            ((_cap_nuc_lon.asNondeterministic()(
+                F.col("face"), F.col("fi"), F.col("fj")
+            ) - F.col("lam_mid") + 540.0) % 360.0) - 180.0
+        )
+        gj = gj.join(bboxes, "zone").where(
+            circ <= F.col("lam_half") + pad
+        )
+        idxc = F.lit(base) + F.col("face") * F.lit((cfg.N_side**2) ** res)
+        spread_i, spread_j = F.lit(0).cast("long"), F.lit(0).cast("long")
+        for i2 in range(res):
+            p3, p9 = cfg.N_side**i2, (cfg.N_side**2) ** i2
+            spread_i = spread_i + (F.floor(F.col("fi") / F.lit(p3)) % 3) * F.lit(p9)
+            spread_j = spread_j + (F.floor(F.col("fj") / F.lit(p3)) % 3) * F.lit(p9)
+        idxc = idxc + F.lit(3) * spread_i + spread_j
+        keyed = keyed.unionByName(gj.select("zone", idxc.alias("_idx")))
     cand = (
-        g.select("zone", idx.alias("_idx"))
+        keyed
         .distinct()
         .select("zone", idx_to_suid(F.col("_idx")).alias("tile_id"))
     )

@@ -132,7 +132,7 @@ def zone_subtract(
     cell_col: str = "cell_id",
     cfg: DggsConfig = WGS84_003,
     checkpoint_every: int = 3,
-    max_levels: int = 16,
+    max_levels: int | None = None,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Leaves(A) − Leaves(B) as a canonical antichain.
@@ -141,9 +141,13 @@ def zone_subtract(
     through; A-cells B pokes into expand one level per iteration —
     each child is dropped (== a B cell), emitted (no B descendant), or
     carried to the next level (B still pokes into it). Iterations are
-    bounded by B's deepest resolution; the frontier is
-    localCheckpoint'ed every `checkpoint_every` levels (same
-    lineage-bounding treatment as compress_cells_df)."""
+    bounded by B's deepest resolution — derived from one tiny
+    driver-side aggregate (max suid length over the already-small zone
+    table B) unless `max_levels` overrides it; a frontier still poked
+    after the last level raises rather than silently under-reporting
+    A − B (ADVICE r3). The frontier is localCheckpoint'ed every
+    `checkpoint_every` levels (same lineage-bounding treatment as
+    compress_cells_df)."""
     spark = a.sparkSession
     A = normalize_zone(a, cell_col, cfg, reliable_checkpoint=reliable_checkpoint)
     B = normalize_zone(b, cell_col, cfg, reliable_checkpoint=reliable_checkpoint)
@@ -174,6 +178,12 @@ def zone_subtract(
     kept = alive.join(poked, "cell_id", "left_anti")
     frontier = poked
     digits = [F.lit(str(d)) for d in range(cfg.N_side**2)]
+    if max_levels is None:
+        # A child of length L is poked iff it matches a proper B
+        # prefix (length <= max_b_len - 1), so max_b_len - 1 levels
+        # always drain the frontier regardless of where A's cells sit.
+        row = B.agg(F.max(F.length("cell_id"))).first()
+        max_levels = max((row[0] or 1) - 1, 0)
     for level in range(max_levels):
         if frontier.isEmpty():
             break
@@ -204,6 +214,132 @@ def zone_subtract(
             else:
                 frontier = frontier.localCheckpoint(eager=True)
                 kept = kept.localCheckpoint(eager=True)
+    else:
+        if not frontier.isEmpty():
+            raise ValueError(
+                "zone_subtract: frontier still poked by B after "
+                f"{max_levels} levels — raise max_levels (or leave it "
+                "None to derive the bound from B's deepest cell)"
+            )
     return compress_cells_df(
         kept, cfg=cfg, reliable_checkpoint=reliable_checkpoint
+    )
+
+
+def zone_xor(
+    a: DataFrame,
+    b: DataFrame,
+    cell_col: str = "cell_id",
+    cfg: DggsConfig = WGS84_003,
+    checkpoint_every: int = 3,
+    max_levels: int | None = None,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Symmetric difference Leaves(A) XOR Leaves(B) as a canonical
+    antichain: (A − B) ∪ (B − A) with the two subtract frontiers FUSED
+    into one per-level loop — a single tagged frontier (src, cell_id)
+    explodes children once per level and joins against the opposite
+    side's cell/prefix tables, so xor costs one plan sequence instead
+    of two full subtracts plus a union. The two kept sets are
+    region-disjoint (an A−B cell lies inside A, a B−A cell outside
+    A), so their union is already an antichain and one final
+    compress_cells_df canonicalizes it."""
+    A = normalize_zone(a, cell_col, cfg, reliable_checkpoint=reliable_checkpoint)
+    B = normalize_zone(b, cell_col, cfg, reliable_checkpoint=reliable_checkpoint)
+    # For src='a' rows the cutter is B; for src='b' rows it is A.
+    cut_cells = (
+        B.select(F.lit("a").alias("src"), F.col("cell_id").alias("cut"))
+        .unionByName(
+            A.select(F.lit("b").alias("src"), F.col("cell_id").alias("cut"))
+        )
+    )
+    cut_pref = (
+        B.select(
+            F.lit("a").alias("src"),
+            F.explode(F.expr(_PROPER_PREFIXES)).alias("pfx"),
+        )
+        .unionByName(
+            A.select(
+                F.lit("b").alias("src"),
+                F.explode(F.expr(_PROPER_PREFIXES)).alias("pfx"),
+            )
+        )
+        .distinct()
+    )
+    base = A.select(F.lit("a").alias("src"), "cell_id").unionByName(
+        B.select(F.lit("b").alias("src"), "cell_id")
+    )
+    base_pref = base.select(
+        "src",
+        "cell_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(cell_id)),"
+                " i -> substring(cell_id, 1, i))"
+            )
+        ).alias("anc"),
+    )
+    covered = (
+        base_pref.join(
+            cut_cells,
+            (base_pref.src == cut_cells.src) & (base_pref.anc == cut_cells.cut),
+            "left_semi",
+        )
+        .select("src", "cell_id")
+        .distinct()
+    )
+    alive = base.join(covered, ["src", "cell_id"], "left_anti")
+    poked = alive.join(
+        cut_pref,
+        (alive.src == cut_pref.src) & (alive.cell_id == cut_pref.pfx),
+        "left_semi",
+    )
+    kept = alive.join(poked, ["src", "cell_id"], "left_anti")
+    frontier = poked
+    digits = [F.lit(str(d)) for d in range(cfg.N_side**2)]
+    if max_levels is None:
+        row = base.agg(F.max(F.length("cell_id"))).first()
+        max_levels = max((row[0] or 1) - 1, 0)
+    for level in range(max_levels):
+        if frontier.isEmpty():
+            break
+        children = frontier.select(
+            "src",
+            F.explode(
+                F.array(*[F.concat(F.col("cell_id"), d) for d in digits])
+            ).alias("cell_id"),
+        )
+        children = children.join(
+            cut_cells,
+            (children.src == cut_cells.src)
+            & (children.cell_id == cut_cells.cut),
+            "left_anti",
+        )
+        next_frontier = children.join(
+            cut_pref,
+            (children.src == cut_pref.src)
+            & (children.cell_id == cut_pref.pfx),
+            "left_semi",
+        )
+        kept = kept.unionByName(
+            children.join(next_frontier, ["src", "cell_id"], "left_anti")
+        )
+        frontier = next_frontier
+        if (level + 1) % checkpoint_every == 0:
+            if reliable_checkpoint:
+                frontier = frontier.checkpoint(eager=True)
+                kept = kept.checkpoint(eager=True)
+            else:
+                frontier = frontier.localCheckpoint(eager=True)
+                kept = kept.localCheckpoint(eager=True)
+    else:
+        if not frontier.isEmpty():
+            raise ValueError(
+                "zone_xor: frontier still poked after "
+                f"{max_levels} levels — raise max_levels (or leave it "
+                "None to derive the bound from the zones' deepest cell)"
+            )
+    return compress_cells_df(
+        kept.select("cell_id"), cfg=cfg,
+        reliable_checkpoint=reliable_checkpoint,
     )

@@ -352,6 +352,193 @@ FROM d9
 """
 
 
+def _s2_lut_values() -> str:
+    """(orientation, ij) -> (pos, next_orientation) rows for the
+    single-bit Hilbert step, derived from the published S2 base tables
+    (POS_TO_IJ / POS_TO_ORIENTATION). The kernel walks 4 bits per step
+    through generated 4-bit lookup tables; this oracle walks ONE bit
+    per step through the 16-entry base relation — an independent
+    algorithm shape that provably composes to the same curve (the
+    4-bit tables are built by recursing this exact step)."""
+    from .kernel.s2 import POS_TO_IJ, POS_TO_ORIENTATION
+
+    rows = []
+    for o in range(4):
+        for pos in range(4):
+            ij = int(POS_TO_IJ[o, pos])
+            rows.append((o, ij, pos, o ^ int(POS_TO_ORIENTATION[pos])))
+    return ", ".join(f"({o},{ij},{p},{no})" for o, ij, p, no in rows)
+
+
+def s2_tokens_sql(source_sql: str, keep_cols: str = "pid") -> str:
+    """Pure-SQL S2 encoder (kernel/s2.py twin, zero shared code): for a
+    source relation exposing lon, lat (degrees) plus `keep_cols`,
+    computes the canonical S2 hex tokens of the level-2 and level-12
+    ancestors of the leaf cell — face selection by dominant axis, the
+    quadratic (u,v)->(s,t) transform, 30-level leaf (i,j), and the
+    Hilbert position via a 30-step recursive CTE over the 16-entry
+    single-bit lookup relation. Verified bit-exact against the kernel
+    over 60k lattice points (tests/test_kernel_s2.py pins a sweep).
+
+    Token arithmetic avoids uint64 bit tricks: the level-L id is
+    face*2^61 + (n >> 2*(30-L))*2^(2*(30-L)+1) + 2^(2*(30-L)); its
+    canonical token (16 hex digits, trailing zeros stripped) is the
+    top 16 - 2*(30-L)/4... i.e. the id right-shifted to its lsb
+    nibble, zero-padded — the low nibble is odd, so the printf width
+    is exact (2 digits at level 2, 7 at level 12)."""
+    lut_vals = _s2_lut_values()
+    return f"""
+WITH RECURSIVE lut(o, ij, pos, no) AS (VALUES {lut_vals}),
+pts AS ({source_sql}),
+a1 AS (SELECT {keep_cols}, radians(lon) AS lam, radians(lat) AS phi FROM pts),
+a2 AS (SELECT {keep_cols}, cos(lam)*cos(phi) AS x, sin(lam)*cos(phi) AS y,
+  sin(phi) AS z FROM a1),
+a3 AS (SELECT {keep_cols}, x, y, z,
+  CASE WHEN abs(x) >= abs(y) THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
+       ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END) END AS f0
+  FROM a2),
+a4 AS (SELECT {keep_cols}, x, y, z,
+  f0 + 3 * (CASE WHEN f0 = 0 THEN (CASE WHEN x < 0 THEN 1 ELSE 0 END)
+                 WHEN f0 = 1 THEN (CASE WHEN y < 0 THEN 1 ELSE 0 END)
+                 ELSE (CASE WHEN z < 0 THEN 1 ELSE 0 END) END) AS face
+  FROM a3),
+a5 AS (SELECT {keep_cols}, face,
+  CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+            WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+  CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+            WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM a4),
+a6 AS (SELECT {keep_cols}, face,
+  CASE WHEN u >= 0 THEN 0.5e0*sqrt(1 + 3*u) ELSE 1 - 0.5e0*sqrt(1 - 3*u) END AS s,
+  CASE WHEN v >= 0 THEN 0.5e0*sqrt(1 + 3*v) ELSE 1 - 0.5e0*sqrt(1 - 3*v) END AS t
+  FROM a5),
+a7 AS (SELECT {keep_cols}, face,
+  least(greatest(CAST(floor(s * 1073741824e0) AS BIGINT), 0), 1073741823) AS i,
+  least(greatest(CAST(floor(t * 1073741824e0) AS BIGINT), 0), 1073741823) AS j
+  FROM a6),
+hil AS (
+  SELECT {keep_cols}, face, i, j, face % 2 AS o, CAST(0 AS BIGINT) AS n,
+    29 AS k
+  FROM a7
+  UNION ALL
+  SELECT {", ".join("h." + c.strip() for c in keep_cols.split(","))},
+    h.face, h.i, h.j, l.no AS o, h.n*4 + l.pos AS n, h.k - 1 AS k
+  FROM hil h JOIN lut l
+    ON l.o = h.o AND l.ij = ((h.i >> h.k) & 1)*2 + ((h.j >> h.k) & 1)
+  WHERE h.k >= 0
+)
+SELECT {keep_cols},
+  printf('%02x', face*32 + (n // 72057594037927936)*2 + 1) AS s2_l2,
+  printf('%07x', face*33554432 + (n // 68719476736)*2 + 1) AS s2_l12
+FROM hil WHERE k = -1
+"""
+
+
+def hex7_tokens_sql(source_sql: str, res: int, keep_cols: str = "pid") -> str:
+    """Pure-SQL hex7 encoder (kernel/hex7.py twin): gnomonic projection
+    onto the nearest icosahedron face (20-way argmax as a window
+    row_number, first-max tie-break like np.argmax), Eisenstein hex
+    rounding (banker's round replicated exactly — DuckDB round() is
+    half-away), and the aperture-7 GBT digit peel as a `res`-step
+    recursive CTE over the 7-digit residue relation. Face bases are
+    folded from the kernel with the same float op order (the
+    icosahedron construction is deterministic from sqrt(5)); every
+    in-SQL arithmetic op is a single IEEE operation, so only libm trig
+    could diverge — verified bit-exact over 50k lattice points
+    (tests/test_kernel_hex7.py pins a sweep).
+
+    Output: (keep_cols, hex7_tok [16-hex of the packed res-`res` id],
+    hex7_l2 [token of the exact aperture-7 parent at res 2])."""
+    from .kernel import hex7
+
+    W = hex7.U_C**res
+    faces_vals = ", ".join(
+        f"({f},{_r(hex7.FACE_N[f, 0])},{_r(hex7.FACE_N[f, 1])},{_r(hex7.FACE_N[f, 2])},"
+        f"{_r(hex7.FACE_E1[f, 0])},{_r(hex7.FACE_E1[f, 1])},{_r(hex7.FACE_E1[f, 2])},"
+        f"{_r(hex7.FACE_E2[f, 0])},{_r(hex7.FACE_E2[f, 1])},{_r(hex7.FACE_E2[f, 2])})"
+        for f in range(20)
+    )
+    dig_vals = ", ".join(
+        f"({i},{int(a)},{int(b)})" for i, (a, b) in enumerate(hex7.DIGITS)
+    )
+    fill = (1 << (3 * (15 - res))) - 1
+    p58, p53, p49, p45 = 1 << 58, 1 << 53, 1 << 49, 1 << 45
+    p42, p39 = 1 << 42, 1 << 39
+    keep_h = ", ".join("p." + c.strip() for c in keep_cols.split(","))
+
+    def bankers(x: str) -> str:
+        return (
+            f"CASE WHEN {x} - floor({x}) > 0.5e0 THEN floor({x}) + 1 "
+            f"WHEN {x} - floor({x}) < 0.5e0 THEN floor({x}) "
+            f"WHEN CAST(floor({x}) AS BIGINT) % 2 = 0 THEN floor({x}) "
+            f"ELSE floor({x}) + 1 END"
+        )
+
+    return f"""
+WITH RECURSIVE faces(fid,nx,ny,nz,e1x,e1y,e1z,e2x,e2y,e2z) AS (VALUES {faces_vals}),
+digs(d, da, db) AS (VALUES {dig_vals}),
+pts AS ({source_sql}),
+b1 AS (SELECT {keep_cols}, radians(lon) AS lam, radians(lat) AS phi FROM pts),
+b2 AS (SELECT {keep_cols}, cos(phi)*cos(lam) AS px, cos(phi)*sin(lam) AS py,
+  sin(phi) AS pz FROM b1),
+b3 AS (SELECT {keep_cols}, px, py, pz, fid, e1x,e1y,e1z,e2x,e2y,e2z,
+  (px*nx + py*ny) + pz*nz AS dot,
+  row_number() OVER (PARTITION BY {keep_cols}
+    ORDER BY (px*nx + py*ny) + pz*nz DESC, fid ASC) AS rn
+  FROM b2, faces),
+b5 AS (SELECT {keep_cols}, fid AS face, e1x,e1y,e1z,e2x,e2y,e2z,
+  px/dot AS qx, py/dot AS qy, pz/dot AS qz FROM b3 WHERE rn = 1),
+b6 AS (SELECT {keep_cols}, face,
+  ((qx*e1x + qy*e1y) + qz*e1z) / {_r(hex7.S0)} AS cre,
+  ((qx*e2x + qy*e2y) + qz*e2z) / {_r(hex7.S0)} AS cim
+  FROM b5),
+b8 AS (SELECT {keep_cols}, face,
+  cre*{_r(W.real)} - cim*{_r(W.imag)} AS wre,
+  (2e0*(cre*{_r(W.imag)} + cim*{_r(W.real)}))/{_r(hex7.SQRT3)} AS bb
+  FROM b6),
+b10 AS (SELECT {keep_cols}, face, wre + bb/2 AS xx,
+  -(wre + bb/2) - bb AS yy, bb AS zz FROM b8),
+b11 AS (SELECT {keep_cols}, face, xx, yy, zz,
+  {bankers("xx")} AS rx0, {bankers("yy")} AS ry0, {bankers("zz")} AS rz0
+  FROM b10),
+b12 AS (SELECT {keep_cols}, face, rx0, ry0, rz0,
+  abs(rx0 - xx) AS dx, abs(ry0 - yy) AS dy, abs(rz0 - zz) AS dz FROM b11),
+b13 AS (SELECT {keep_cols}, face,
+  CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS BIGINT) AS za,
+  CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy THEN -rx0 - ry0
+       ELSE rz0 END AS BIGINT) AS zb
+  FROM b12),
+peel AS (
+  SELECT {keep_cols}, face, za, zb, 0 AS s, CAST(0 AS BIGINT) AS acc FROM b13
+  UNION ALL
+  SELECT {keep_h}, p.face,
+    (2*(p.za - g.da) + (p.zb - g.db)) // 7 AS za,
+    (3*(p.zb - g.db) - (p.za - g.da)) // 7 AS zb,
+    p.s + 1 AS s,
+    p.acc + g.d * CAST(power(8, 15 - {res} + p.s) AS BIGINT) AS acc
+  FROM peel p JOIN digs g
+    ON (2*(p.za - g.da) + (p.zb - g.db)) % 7 = 0
+   AND (3*(p.zb - g.db) - (p.za - g.da)) % 7 = 0
+  WHERE p.s < {res}
+),
+packedT AS (
+  SELECT {keep_cols}, face,
+    least(greatest(za, -8), 7) AS z0a, least(greatest(zb, -8), 7) AS z0b, acc
+  FROM peel WHERE s = {res}
+)
+SELECT {keep_cols},
+  printf('%016x',
+    CAST({res} AS BIGINT)*{p58} + face*{p53}
+    + (z0a + 8)*{p49} + (z0b + 8)*{p45} + acc + {fill}) AS hex7_tok,
+  printf('%016x',
+    CAST(2 AS BIGINT)*{p58} + face*{p53}
+    + (z0a + 8)*{p49} + (z0b + 8)*{p45}
+    + ((acc // {p42}) % 8) * {p42}
+    + ((acc // {p39}) % 8) * {p39} + {p39 - 1}) AS hex7_l2
+FROM packedT
+"""
+
+
 def np_rad2deg_const() -> float:
     """The constant numpy multiplies by in rad2deg (180/pi as a
     double), matching the kernel's conversion bit-for-bit."""

@@ -140,6 +140,39 @@ class TestLinetrace:
         assert any(c.startswith("O") for c in got)
         assert any(c.startswith("R") for c in got)
 
+    def test_seam_exact_start_heading_east(self):
+        # (180, 5) -> (-175, 6) is entirely in the west hemisphere's
+        # frame of lon in [-180, -175]; the raw jump (-355) must NOT
+        # produce a spurious east-side sub-segment (ADVICE r3: the old
+        # seam choice from a[0] > 0 split at t == 0).
+        a, b = (180.0, 5.0), (-175.0, 6.0)
+        segs = KR._split_segment_dateline(a, b, 180.0)
+        assert segs == [((-180.0, 5.0), b)]
+        got = KR.linetrace(WGS84_003, [[a, b]], 3, plane=False, split_dateline=True)
+        ref = KR.cells_from_line(WGS84_003, 3, (-180.0, 5.0), b, False)
+        assert got == ref
+        # No cell east of the seam-adjacent column appears.
+        assert all(not c.startswith("R5") or c in ref for c in got)
+
+    def test_seam_exact_start_heading_west(self):
+        # (-180, 5) -> (175, 6): pure east-hemisphere segment.
+        a, b = (-180.0, 5.0), (175.0, 6.0)
+        segs = KR._split_segment_dateline(a, b, 180.0)
+        assert segs == [((180.0, 5.0), b)]
+        got = KR.linetrace(WGS84_003, [[a, b]], 3, plane=False, split_dateline=True)
+        assert got == KR.cells_from_line(WGS84_003, 3, (180.0, 5.0), b, False)
+
+    def test_seam_exact_end(self):
+        # Segment ending exactly on the seam from the east hemisphere.
+        a, b = (175.0, 5.0), (-180.0, 6.0)
+        segs = KR._split_segment_dateline(a, b, 180.0)
+        assert segs == [(a, (180.0, 6.0))]
+
+    def test_both_endpoints_on_seam(self):
+        a, b = (180.0, 5.0), (-180.0, 8.0)
+        segs = KR._split_segment_dateline(a, b, 180.0)
+        assert segs == [(a, (180.0, 8.0))]
+
 
 @pytest.mark.usefixtures("spark")
 class TestDistributed:
@@ -183,6 +216,37 @@ class TestDistributed:
             ).collect()
         }
         assert got == {(1, "fiji"), (2, "fiji")}
+
+    def test_polygon_join_auto_split_default(self, spark):
+        """VERDICT r3 item 4: a crossing polygon with the flag UNSET
+        must auto-split and match split_dateline=True — never silently
+        return partial matches."""
+        from rhealpixdggs_spark.operators.joins import polygon_join
+
+        pts = spark.createDataFrame(
+            [
+                (1, 176.0, 15.0),
+                (2, -176.0, 20.0),
+                (3, 150.0, 15.0),
+            ],
+            "pid int, lon double, lat double",
+        )
+        got = {
+            (r.pid, r.zone)
+            for r in polygon_join(pts, [("fiji", CROSSING_RAW, [])], res=2).collect()
+        }
+        assert got == {(1, "fiji"), (2, "fiji")}
+
+    def test_polygon_join_false_raises_on_crossing(self, spark):
+        from rhealpixdggs_spark.operators.joins import polygon_join
+
+        pts = spark.createDataFrame(
+            [(1, 176.0, 15.0)], "pid int, lon double, lat double"
+        )
+        with pytest.raises(ValueError, match="antimeridian"):
+            polygon_join(
+                pts, [("fiji", CROSSING_RAW, [])], res=2, split_dateline=False
+            )
 
     def test_polygon_join_seam_point_plus180(self, spark):
         """+180 and -180 encode the same meridian; a point normalized

@@ -99,6 +99,48 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             resize_image(media, 8, 8)
 
+    def test_parse_ppm_roundtrip_with_comments(self):
+        from rhealpixdggs_spark.operators.multimodal import encode_ppm, parse_ppm
+
+        for d in (0, 5, 7, 123, 4999):  # d%5==0 rows carry a comment
+            w, h = d % 64 + 1, d % 48 + 1
+            buf = encode_ppm([d], [w], [h])[0]
+            pw, ph, px = parse_ppm(buf)
+            assert (pw, ph) == (w, h)
+            exp = (d * 31 + 7 * np.arange(w * h * 3, dtype=np.int64)) % 256
+            assert np.array_equal(px, exp.astype(np.uint8))
+
+    def test_parse_ppm_rejects_and_guards(self):
+        from rhealpixdggs_spark.operators.multimodal import parse_ppm
+
+        assert parse_ppm(b"notppm") is None
+        assert parse_ppm(b"") is None
+        with pytest.raises(ValueError, match="truncated"):
+            parse_ppm(b"P6\n# only a comment")
+        with pytest.raises(ValueError, match="16-bit"):
+            parse_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24)
+        # Arbitrary whitespace runs and multiple comments are legal.
+        pw, ph, px = parse_ppm(b"P6\n#a\n  \t2\n#b\n 1  255\n" + bytes(range(6)))
+        assert (pw, ph) == (2, 1) and list(px) == [0, 1, 2, 3, 4, 5]
+
+    def test_real_ppm_decode_in_spark(self, spark):
+        from rhealpixdggs_spark.operators.multimodal import (
+            attach_ppm_payload,
+            decode_image,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "t") for i in (0, 3, 10, 77)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in decode_image(attach_ppm_payload(docs)).collect()}
+        for d in (0, 3, 10, 77):
+            r = out[d]
+            assert r.decoded_by == "ppm"
+            assert (r.width, r.height) == (d % 64 + 1, d % 48 + 1)
+            n = r.width * r.height * 3
+            exp = ((d * 31 + 7 * np.arange(n, dtype=np.int64)) % 256)
+            assert r.mean_px == int(exp.sum()) / n
+
 
 class TestRaster:
     def test_grid_pixel_centers(self, spark):

@@ -797,6 +797,59 @@ class TestAsofJoin:
                 plain[sorted(plain.columns)], b[sorted(b.columns)]
             )
 
+    def test_auto_bucket_skewed_key_equals_plain(self, spark):
+        """bucket_width='auto' (VERDICT r3 item 6): on a fixture where
+        one key holds 50% of all rows, the sketch-derived width must
+        split the mega-key into several buckets AND reproduce the
+        plain path exactly."""
+        from rhealpixdggs_spark.operators.temporal import (
+            asof_join,
+            asof_join_bucketed,
+            choose_bucket_width,
+        )
+
+        rows_l, rows_r = [], []
+        for i in range(2000):
+            key = "mega" if i % 2 == 0 else f"k{i % 40}"
+            rows_l.append((i, float(i), key))
+            if i % 3 == 0:
+                rows_r.append((float(i) - 0.5, key, i * 2))
+        left = spark.createDataFrame(rows_l, ["eid", "t", "k"])
+        right = spark.createDataFrame(rows_r, ["t", "k", "val"])
+        width = choose_bucket_width(left, right, "t", "k", rows_per_bucket=64)
+        span = 2000.0 - 0.5 * 3  # ~full t range
+        assert width < span / 4  # the mega-key actually gets split
+        plain = (
+            asof_join(left, right, on="t", by="k")
+            .toPandas().sort_values("eid").reset_index(drop=True)
+        )
+        auto = (
+            asof_join_bucketed(
+                left, right, on="t", by="k", rows_per_bucket=64
+            )
+            .toPandas().sort_values("eid").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            plain[sorted(plain.columns)], auto[sorted(auto.columns)]
+        )
+
+    def test_auto_bucket_plan_bounded_partitions(self, spark):
+        """The auto path must still window per (key, bucket): the
+        final Window's partition spec carries the bucket column."""
+        from rhealpixdggs_spark.operators.temporal import asof_join_bucketed
+
+        left = spark.createDataFrame(
+            [(i, float(i), "k") for i in range(200)], ["eid", "t", "k"]
+        )
+        right = spark.createDataFrame(
+            [(float(i), "k", i) for i in range(0, 200, 3)], ["t", "k", "val"]
+        )
+        out = asof_join_bucketed(
+            left, right, on="t", by="k", rows_per_bucket=16
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_asof_bkt" in plan and "Window" in plan
+
     def test_bucketed_numeric_tolerance_negative(self, spark):
         """Numeric `on`, tolerance nulling, and negative positions
         (floor bucketing, seed carried across bucket gaps)."""

@@ -224,10 +224,59 @@ class TestPolyfillMany:
         assert plan.count("Union") == 0  # one generator, not 10 branches
         assert df.count() > 0
 
-    def test_rejects_cap_polygons(self, spark):
+    def test_cap_polygon_matches_polyfill_df(self, spark):
+        """VERDICT r3 item 5: the equatorial-band restriction is
+        lifted — a cap-reaching ring goes through the per-parallel
+        walk generator inside the same plan and must equal
+        polyfill_df (itself reference-gated) exactly."""
+        from rhealpixdggs_spark.operators.tiling import polyfill_df, polyfill_many
+
+        zones = {"n": [([(-10.0, 50.0), (10.0, 50.0), (0.0, 70.0)], [])]}
+        got = sorted(r.tile_id for r in polyfill_many(spark, zones, 3).collect())
+        exp = sorted(
+            r.tile_id for r in polyfill_df(spark, zones, 3, plane=False).collect()
+        )
+        assert got == exp and len(got) > 0
+
+    def test_mixed_fleet_band_and_caps(self, spark):
+        """One call covering an equatorial zone, a band+north-cap
+        zone, a pure-north-cap zone and a south-cap zone — per-zone
+        results equal polyfill_df."""
+        from rhealpixdggs_spark.operators.tiling import polyfill_df, polyfill_many
+
+        zones = {
+            "eq": [([(0.0, -5.0), (8.0, -5.0), (4.0, 6.0)], [])],
+            "ncap": [([(-10.0, 30.0), (10.0, 30.0), (0.0, 70.0)], [])],
+            "polar": [([(-60.0, 75.0), (-20.0, 75.0), (-40.0, 88.0)], [])],
+            "scap": [([(100.0, -45.0), (140.0, -50.0), (120.0, -75.0)], [])],
+        }
+        got = polyfill_many(spark, zones, 2)
+        by_zone = {}
+        for r in got.collect():
+            by_zone.setdefault(r.zone, []).append(r.tile_id)
+        for name in zones:
+            exp = sorted(
+                r.tile_id
+                for r in polyfill_df(
+                    spark, {name: zones[name]}, 2, plane=False
+                ).collect()
+            )
+            assert sorted(by_zone.get(name, [])) == exp, name
+
+    def test_dateline_polygon_auto_split(self, spark):
+        """A crossing ring with the flag unset must auto-split (same
+        result as split_dateline=True), and split_dateline=False must
+        raise instead of silently dropping cells."""
         import pytest as _pytest
 
         from rhealpixdggs_spark.operators.tiling import polyfill_many
 
-        with _pytest.raises(ValueError, match="polar caps"):
-            polyfill_many(spark, {"n": [([(-10.0, 50.0), (10.0, 50.0), (0.0, 70.0)], [])]}, 3)
+        zones = {"x": [([(175.0, -5.0), (-175.0, -5.0), (180.0, 6.0)], [])]}
+        auto = sorted(r.tile_id for r in polyfill_many(spark, zones, 3).collect())
+        forced = sorted(
+            r.tile_id
+            for r in polyfill_many(spark, zones, 3, split_dateline=True).collect()
+        )
+        assert auto == forced and len(auto) > 0
+        with _pytest.raises(ValueError, match="antimeridian"):
+            polyfill_many(spark, zones, 3, split_dateline=False)

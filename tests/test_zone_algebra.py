@@ -15,6 +15,7 @@ from rhealpixdggs_spark.operators.zone_algebra import (
     zone_intersect,
     zone_subtract,
     zone_union,
+    zone_xor,
 )
 
 DIGITS = "012345678"
@@ -87,6 +88,28 @@ class TestFixedZones:
         assert got == exp
         assert "Q338" in got and "R2" in got and "P1" not in got
 
+    def test_xor(self, spark):
+        got = {
+            r.cell_id for r in zone_xor(_df(spark, ZA), _df(spark, ZB)).collect()
+        }
+        exp = compress(leaves(ZA, 3) ^ leaves(ZB, 3))
+        assert got == exp
+        # Cells in both zones vanish; one-side cells survive.
+        assert "P1" not in got and "R2" in got and "S1" in got
+
+    def test_xor_empty_sides(self, spark):
+        assert {
+            r.cell_id for r in zone_xor(_df(spark, ZA), _df(spark, [])).collect()
+        } == set(ZA)
+        assert {
+            r.cell_id for r in zone_xor(_df(spark, []), _df(spark, ZB)).collect()
+        } == set(compress(set(ZB)))
+
+    def test_xor_self_is_empty(self, spark):
+        assert (
+            zone_xor(_df(spark, ZA), _df(spark, ZA)).count() == 0
+        )
+
     def test_subtract_empty_b(self, spark):
         got = {
             r.cell_id
@@ -122,6 +145,42 @@ class TestDeepSubtract:
         # the result is far smaller than the 59049-leaf expansion.
         assert len(got) < 9 * 5 * len(holes)
 
+    def test_exhausted_max_levels_raises(self, spark):
+        """A caller-supplied max_levels too shallow for B must raise,
+        not silently drop the still-poked frontier (ADVICE r3)."""
+        with pytest.raises(ValueError, match="frontier still poked"):
+            zone_subtract(
+                _df(spark, ["N"]), _df(spark, ["N01234"]), max_levels=2
+            ).collect()
+
+    def test_xor_res12_deep_cut(self, spark):
+        """res-12 cut crossing four checkpoint boundaries: xor must
+        equal subtract(A,B) ∪ subtract(B,A) (each leaf-model verified
+        at shallower depths) without materializing 9^12 leaves."""
+        A, B = ["N"], ["N012345670123", "P2"]
+        got = {r.cell_id for r in zone_xor(_df(spark, A), _df(spark, B)).collect()}
+        ab = {
+            r.cell_id
+            for r in zone_subtract(_df(spark, A), _df(spark, B)).collect()
+        }
+        ba = {
+            r.cell_id
+            for r in zone_subtract(_df(spark, B), _df(spark, A)).collect()
+        }
+        assert got == compress(ab | ba)
+        assert "P2" in got and len(got) == 8 * 12 + 1
+
+    def test_default_bound_derived_from_b_depth(self, spark):
+        """With max_levels unset the bound comes from B's deepest suid
+        — a res-7 hole in a res-0 face subtracts exactly."""
+        hole = "N0123456"
+        got = {
+            r.cell_id
+            for r in zone_subtract(_df(spark, ["N"]), _df(spark, [hole])).collect()
+        }
+        exp = compress(leaves(["N"], 7) - leaves([hole], 7))
+        assert got == exp
+
 
 class TestRandomZones:
     @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -144,6 +203,7 @@ class TestRandomZones:
             (zone_union, la | lb),
             (zone_intersect, la & lb),
             (zone_subtract, la - lb),
+            (zone_xor, la ^ lb),
         ):
             got = {
                 r.cell_id for r in op(_df(spark, za), _df(spark, zb)).collect()

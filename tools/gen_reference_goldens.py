@@ -64,6 +64,8 @@ DATA_DIR = os.path.join(REPO, "rhealpixdggs_spark", "data")
 
 # The contract queries' fixed inputs (duplicated in __spark_entry__.py).
 EURO_RING = [(-10.0, 36.0), (25.0, 34.0), (30.0, 58.0), (-8.0, 60.0)]
+# Cap-reaching triangle (band -> north cap) for the polyfill_many gate.
+CAP_RING = [(-10.0, 30.0), (10.0, 30.0), (0.0, 70.0)]
 # Dateline-crossing quad (raw-jump form) and its manual split halves.
 DATELINE_RING = [(170.0, 10.0), (-170.0, 10.0), (-170.0, 25.0), (170.0, 25.0)]
 DATELINE_WEST = [(170.0, 10.0), (180.0, 10.0), (180.0, 25.0), (170.0, 25.0)]
@@ -160,6 +162,24 @@ def gen_polyfill(ref) -> list[str]:
     )
     kcells = KR.polyfill(WGS84_003, [(EURO_RING, [])], POLYFILL_RES, plane=False)
     assert cells == kcells, "polyfill: reference != kernel"
+    return sorted(cells)
+
+
+def gen_polyfill_cap(ref) -> list[str]:
+    """Cap-reaching ring (round 4, VERDICT item 5): the reference's
+    polyfill executed verbatim on a triangle spanning the equatorial
+    band INTO the north polar cap — the golden that gates
+    polyfill_many's per-parallel cap generator. Cross-checked against
+    the engine kernel's polyfill."""
+    import rhealpixdggs.rhp_wrappers as rw
+
+    geometry = sys.modules["shapely.geometry"].Polygon(CAP_RING)
+    cells = rw.polyfill(
+        geometry, POLYFILL_RES, plane=False, verbose=False, dggs=ref.dggs.WGS84_003
+    )
+    kcells = KR.polyfill(WGS84_003, [(CAP_RING, [])], POLYFILL_RES, plane=False)
+    assert cells == kcells, "polyfill_cap: reference != kernel"
+    assert any(c.startswith("N") for c in cells), "cap not reached"
     return sorted(cells)
 
 
@@ -510,6 +530,11 @@ def main() -> None:
             "res": POLYFILL_RES,
             "polygon": [list(p) for p in EURO_RING],
             "cells": gen_polyfill(ref),
+        },
+        "polyfill_cap": {
+            "res": POLYFILL_RES,
+            "polygon": [list(p) for p in CAP_RING],
+            "cells": gen_polyfill_cap(ref),
         },
         "kring_sizes": {
             "res": KRING_RES,
