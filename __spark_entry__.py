@@ -2003,6 +2003,76 @@ def _q_image_decode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# Seeds at cube corners: their k=3 disks span 3+ faces — exactly the
+# configuration the reference's cell_ring walk documents as incomplete.
+_KDISK_SEEDS = ["N00", "N88", "S00", "S88", "O00", "Q44"]
+
+
+def _q_kdisk_multiface(spark, sf_dir):
+    """Graph-distance-3 disks from cube-corner seeds via
+    operators/joins.k_disk_graph — the multi-face-correct disk the
+    reference's cell_ring cannot produce (its documented >2-face
+    incompleteness, rhp_wrappers.py:37). Oracle: recursive-CTE BFS
+    over the reference-EXECUTED neighbors_all edge relation (every
+    res-2 cell's ellipsoidal neighbor dict), so the disk definition is
+    anchored to reference-verified edges."""
+    from rhealpixdggs_spark.operators.joins import k_disk_graph
+
+    seeds = spark.createDataFrame(
+        [(c,) for c in _KDISK_SEEDS], "cell_id string"
+    )
+    return k_disk_graph(seeds, 3).orderBy("seed", "cell_id")
+
+
+def _kdisk_multiface_oracle_sql() -> str:
+    rows = _ref_goldens()["neighbors_all"]["rows"]
+    edges = ", ".join(f"('{s}', '{n}')" for s, _d, n in rows)
+    seeds = ", ".join(f"('{c}')" for c in _KDISK_SEEDS)
+    return f"""
+        WITH RECURSIVE e(cell_id, nb) AS (VALUES {edges}),
+        seeds(seed) AS (VALUES {seeds}),
+        bfs(seed, cell_id, dist) AS (
+          SELECT seed, seed, 0 FROM seeds
+          UNION ALL
+          SELECT b.seed, e.nb, b.dist + 1
+          FROM bfs b JOIN e ON e.cell_id = b.cell_id
+          WHERE b.dist < 3
+        )
+        SELECT seed, cell_id, MIN(dist) AS dist
+        FROM bfs GROUP BY seed, cell_id
+        ORDER BY seed, cell_id
+    """
+
+
+def _q_image_resize(spark, sf_dir):
+    """REAL image resize (round 4): PPM payloads resampled to 8x6 with
+    the pure-NumPy nearest-neighbor path (resize_ppm), then decoded
+    back — resized dims and the exact mean pixel gate the whole
+    encode -> resize -> decode loop against a DuckDB byte-math oracle
+    (resized pixel (r,c,ch) = source pixel ((r*sh)//6, (c*sw)//8, ch),
+    all pure functions of doc_id)."""
+    from rhealpixdggs_spark.operators.multimodal import (
+        attach_ppm_payload,
+        decode_image,
+        resize_image,
+    )
+
+    media = attach_ppm_payload(_t(spark, sf_dir, "documents"))
+    resized = resize_image(media, 8, 6)
+    out = decode_image(
+        resized.withColumn(
+            "meta",
+            F.struct(
+                F.col("width"), F.col("height"),
+                F.lit(1).alias("n_frames"), F.lit(0).alias("sample_rate"),
+            ),
+        )
+    )
+    return out.select(
+        "doc_id", "width", "height", "mean_px", "decoded_by"
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract queries. ORDER MATTERS: the driver's correctness gate
     checks the first 50 entries only. INVARIANT: positions 1-50 are
@@ -2012,8 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Per-round rotation history lives in FIXTURES.md section 5. The 51+
     tail (all previously driver-green) stays value-checked every run
     by tests/test_entry_contract.py and tools/zero_tolerance_audit.py.
-    Round 4: IN s2/hex7/image oracles + zone_xor + polyfill_cap +
-    asof_bucketed_auto; OUT eight r2+r3 double-green dedup queries."""
+    Round 4: IN s2/hex7/image_decode/image_resize oracles + zone_xor +
+    polyfill_cap + asof_bucketed_auto; OUT nine r2+r3 double-greens."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -2035,7 +2105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_intersect": _q_zone_intersect,
         "polyfill": _q_polyfill,
         "polyfill_dateline": _q_polyfill_dateline,
-        "salted_cell_agg": _q_salted_cell_agg,
         "kring_sizes": _q_kring_sizes,
         "source_rollup": _q_source_rollup,
         "neighbors_interior": _q_neighbors_interior,
@@ -2048,16 +2117,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_join": _q_polygon_join,
         "raster_to_vector": _q_raster_to_vector,
         "zone_dateline": _q_zone_dateline,
+        "kdisk_multiface": _q_kdisk_multiface,
         "s2_cross_index": _q_s2_cross_index,
         "s2_encode": _q_s2_encode,
         "hex7_cross_index": _q_hex7_cross_index,
         "hex7_encode": _q_hex7_encode,
         "image_decode": _q_image_decode,
+        "image_resize": _q_image_resize,
         "zone_xor": _q_zone_xor,
         "polyfill_cap": _q_polyfill_cap,
         "linetrace_dateline": _q_linetrace_dateline,
         "shape_all": _q_shape_all,
-        "tpch_pricing": _q_tpch_pricing,
         "repetition_signals": _q_repetition_signals,
         "corpus_sample": _q_corpus_sample,
         "dedup_components": _q_dedup_components,
@@ -2068,6 +2138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_keep": _q_near_dedup_keep,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "salted_cell_agg": _q_salted_cell_agg,
+        "tpch_pricing": _q_tpch_pricing,
         "minhash_sig": _q_minhash_sig,
         "simhash": _q_simhash,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -3497,6 +3569,8 @@ def oracle_sql() -> dict[str, str]:
         "hex7_cross_index": _hex7_cross_index_oracle_sql(),
         "hex7_encode": _hex7_encode_oracle_sql(),
         "image_decode": _image_decode_oracle_sql(),
+        "image_resize": _image_resize_oracle_sql(),
+        "kdisk_multiface": _kdisk_multiface_oracle_sql(),
         # All former rows-only queries graduated to independent
         # oracles: region_cover / zone_from_poly / linetrace_many /
         # polyfill / kring_sizes in round 3 (reference-EXECUTED VALUES
@@ -3584,6 +3658,30 @@ def _image_decode_oracle_sql() -> str:
           GROUP BY doc_id, w, h)
         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                CAST(s AS DOUBLE) / n AS mean_px,
+               'ppm' AS decoded_by
+        FROM px ORDER BY doc_id
+    """
+
+
+def _image_resize_oracle_sql() -> str:
+    """Byte-math twin of the PPM encode -> nearest-neighbor resize ->
+    decode loop: destination pixel (r, c, ch) of the 8x6 resample is
+    source pixel ((r*sh)//6, (c*sw)//8, ch), whose byte value is
+    (doc_id*31 + 7*k) % 256 at flat k = (row*sw + col)*3 + ch — all
+    derivable from doc_id alone."""
+    return """
+        WITH d AS (SELECT doc_id,
+                          doc_id % 64 + 1 AS sw, doc_id % 48 + 1 AS sh
+                   FROM documents),
+        px AS (
+          SELECT doc_id,
+            CAST(SUM((doc_id*31
+              + 7*((((t // 24) * sh // 6) * sw + ((t % 24) // 3) * sw // 8)
+                   * 3 + t % 3)) % 256) AS BIGINT) AS s
+          FROM d, range(144) q(t)
+          GROUP BY doc_id)
+        SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+               CAST(s AS DOUBLE) / 144 AS mean_px,
                'ppm' AS decoded_by
         FROM px ORDER BY doc_id
     """

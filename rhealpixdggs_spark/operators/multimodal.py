@@ -12,9 +12,11 @@ per-row Python.
 Codec status: binary P6 PPM (uncompressed portable pixmap) has a REAL
 pure-NumPy encoder/decoder pair (``encode_ppm`` / ``parse_ppm``,
 oracle-gated end to end by the driver's ``image_decode`` query);
-compressed formats would go through PIL, absent in this sandbox, so
-``decode_image`` falls back to a clearly-marked deterministic fake for
-non-PPM payloads and ``resize_image`` stays a declared stub.
+and ``resize_image`` resamples PPM payloads with a real pure-NumPy
+nearest-neighbor path (``resize_ppm``); compressed formats would go
+through PIL, absent in this sandbox, so ``decode_image`` falls back
+to a clearly-marked deterministic fake and ``resize_image`` raises
+the declared NotImplementedError for non-PPM payloads.
 Everything around the codecs — schemas, batch shapes, partitioning,
 frame sampling, byte features — is real and tested.
 """
@@ -371,10 +373,72 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
     return prepped.mapInPandas(decode, _DECODE_SCHEMA)
 
 
-def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real resampling needs an image library that is not in
-    this container. The signature and schema are the contract."""
-    raise NotImplementedError(
-        "resize_image requires PIL/opencv (not available offline); "
-        "decode_image/byte_features/sample_frames cover the plumbing"
+def resize_ppm(buf: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of one binary P6 PPM to
+    (width, height), re-encoded as P6 — pure NumPy (row/col index
+    maps r_src = (r_dst * src_h) // dst_h, the standard floor map).
+    Returns None for non-PPM payloads."""
+    parsed = parse_ppm(buf)
+    if parsed is None:
+        return None
+    sw, sh, px = parsed
+    img = px.reshape(sh, sw, 3)
+    rows = (np.arange(height, dtype=np.int64) * sh) // height
+    cols = (np.arange(width, dtype=np.int64) * sw) // width
+    out = img[rows][:, cols]
+    return f"P6\n{width} {height}\n255\n".encode() + out.tobytes()
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_image(df: DataFrame, width: int, height: int,
+                 payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Resample image payloads to (width, height). Binary P6 PPM goes
+    through the REAL pure-NumPy nearest-neighbor path (resize_ppm,
+    oracle-gated end to end by the driver's image_resize query);
+    any other format needs PIL, absent offline, so it raises the
+    declared NotImplementedError. Output payloads are re-encoded P6."""
+    try:  # pragma: no cover - PIL absent in this container
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                out = resize_ppm(bytes(buf), width, height)
+                if out is None:
+                    if have_pil:  # pragma: no cover
+                        raise NotImplementedError(
+                            "real codec path: wire PIL resampling here"
+                        )
+                    raise NotImplementedError(
+                        "resize_image: non-PPM payload needs PIL/opencv "
+                        "(not available offline)"
+                    )
+                ids.append(int(i))
+                payloads.append(out)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        resize, _RESIZE_SCHEMA
     )

@@ -95,9 +95,35 @@ class TestMultimodal:
         px = np.resize(b, (r.height, r.width))
         assert r.mean_px == pytest.approx(float(px.mean()))
 
-    def test_resize_is_marked_stub(self, media):
-        with pytest.raises(NotImplementedError):
-            resize_image(media, 8, 8)
+    def test_resize_non_ppm_is_marked_stub(self, media):
+        # `media` payloads are raw UTF-8 text, not PPM: the real
+        # codec would need PIL, so the declared stub must raise.
+        with pytest.raises(Exception) as e:
+            resize_image(media, 8, 8).collect()
+        assert "NotImplementedError" in str(e.value) or isinstance(
+            e.value, NotImplementedError
+        )
+
+    def test_resize_ppm_nearest_neighbor(self):
+        from rhealpixdggs_spark.operators.multimodal import (
+            encode_ppm,
+            parse_ppm,
+            resize_ppm,
+        )
+
+        d = 123
+        sw, sh = d % 64 + 1, d % 48 + 1
+        buf = encode_ppm([d], [sw], [sh])[0]
+        out = resize_ppm(buf, 8, 6)
+        pw, ph, px = parse_ppm(out)
+        assert (pw, ph) == (8, 6) and px.size == 144
+        src = parse_ppm(buf)[2].reshape(sh, sw, 3)
+        exp = src[(np.arange(6) * sh) // 6][:, (np.arange(8) * sw) // 8]
+        assert np.array_equal(px.reshape(6, 8, 3), exp)
+        # identity resize reproduces the source pixels
+        same = resize_ppm(buf, sw, sh)
+        assert np.array_equal(parse_ppm(same)[2], parse_ppm(buf)[2])
+        assert resize_ppm(b"not an image", 4, 4) is None
 
     def test_parse_ppm_roundtrip_with_comments(self):
         from rhealpixdggs_spark.operators.multimodal import encode_ppm, parse_ppm

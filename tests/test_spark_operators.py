@@ -66,6 +66,49 @@ class TestJoins:
                     exp.add((r.pid, t))
         assert set((r.pid, r.tile_id) for r in got) == exp
 
+    def test_k_disk_graph_matches_python_bfs(self, spark):
+        """k_disk_graph == plain BFS over the kernel neighbor dicts —
+        including a cube-corner seed whose disk spans 3 faces (where
+        the reference's cell_ring is documented incomplete)."""
+        from rhealpixdggs_spark.kernel.constants import WGS84_003
+        from rhealpixdggs_spark.kernel.neighbors import neighbors_ellipsoidal
+        from rhealpixdggs_spark.operators.joins import k_disk_graph
+
+        import numpy as np
+
+        from rhealpixdggs_spark.kernel import cells as KC
+
+        def py_bfs(seed, k):
+            dist = {seed: 0}
+            frontier = [seed]
+            for d in range(1, k + 1):
+                nxt = []
+                for c in frontier:
+                    face, digits = KC.parse_suids(np.array([c]))
+                    nbrs = neighbors_ellipsoidal(WGS84_003, face, digits)[0]
+                    for n in nbrs.values():
+                        n = str(n)
+                        if n not in dist:
+                            dist[n] = d
+                            nxt.append(n)
+                frontier = nxt
+            return dist
+
+        seeds = ["N00", "Q44"]
+        df = spark.createDataFrame([(c,) for c in seeds], "cell_id string")
+        got = {
+            (r.seed, r.cell_id): r.dist
+            for r in k_disk_graph(df, 3).collect()
+        }
+        exp = {}
+        for s in seeds:
+            for c, d in py_bfs(s, 3).items():
+                exp[(s, c)] = d
+        assert got == exp
+        # the corner disk really spans 3 faces
+        faces = {c[0] for (s, c) in got if s == "N00"}
+        assert len(faces) >= 3
+
     def test_prefix_agg(self, spark, rng):
         pts = _points_df(spark, rng, 400, res=5)
         got = (
