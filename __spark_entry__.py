@@ -2044,6 +2044,85 @@ def _kdisk_multiface_oracle_sql() -> str:
     """
 
 
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization (functions/urls.py — pure column
+    expressions, map-only): deterministic messy URLs synthesized per
+    doc_id exercise every rule (uppercase scheme/host, default vs
+    non-default ports, empty paths, utm_* params, unsorted params,
+    fragments), then canonical form + host rollup key. Oracle
+    re-derives the rules with DuckDB regexp/list functions."""
+    from rhealpixdggs_spark.functions.urls import canonical_url, url_host
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Site"), (d % 37).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 3 == 0, F.lit(":443"))
+        .when(d % 3 == 1, F.lit(":8443"))
+        .otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/P/"), d.cast("string"))
+        ),
+        F.lit("?utm_source=x&b="), (d % 7).cast("string"),
+        F.when(d % 2 == 0, F.lit("&a=1")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        canonical_url(url).alias("canon"),
+        url_host(url).alias("host"),
+    ).orderBy("doc_id")
+
+
+def _url_canonical_oracle_sql() -> str:
+    return r"""
+        WITH u AS (
+          SELECT doc_id,
+            'HTTPS://Site' || (doc_id % 37) || '.Example.COM'
+            || CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 1 THEN ':8443'
+               ELSE '' END
+            || CASE WHEN doc_id % 4 = 0 THEN '' ELSE '/P/' || doc_id END
+            || '?utm_source=x&b=' || (doc_id % 7)
+            || CASE WHEN doc_id % 2 = 0 THEN '&a=1' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+            lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS scheme,
+            regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u)),
+        q AS (
+          SELECT doc_id, scheme,
+            lower(regexp_extract(hp, '^([^:]*)', 1)) AS host,
+            regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+            regexp_replace(rest, '^[^/?]*', '') AS pathq
+          FROM (SELECT doc_id, scheme, rest,
+                       regexp_extract(rest, '^([^/?]*)', 1) AS hp FROM p)),
+        r AS (
+          SELECT doc_id, scheme, host, port,
+            CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+                 ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+            regexp_extract(pathq, '\?(.*)$', 1) AS qs
+          FROM q),
+        s AS (
+          SELECT *, array_to_string(list_sort(list_filter(
+                   string_split(qs, '&'),
+                   x -> NOT starts_with(x, 'utm_') AND x <> '')), '&')
+                 AS qsort
+          FROM r)
+        SELECT doc_id,
+          scheme || '://' || host
+          || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END
+          || path
+          || CASE WHEN qsort = '' THEN '' ELSE '?' || qsort END AS canon,
+          host
+        FROM s ORDER BY doc_id
+    """
+
+
 def _q_image_resize(spark, sf_dir):
     """REAL image resize (round 4): PPM payloads resampled to 8x6 with
     the pure-NumPy nearest-neighbor path (resize_ppm), then decoded
@@ -2107,7 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_dateline": _q_polyfill_dateline,
         "kring_sizes": _q_kring_sizes,
         "source_rollup": _q_source_rollup,
-        "neighbors_interior": _q_neighbors_interior,
+        "url_canonical": _q_url_canonical,
         "region_cover_ell": _q_region_cover_ell,
         "region_cover_planar": _q_region_cover_planar,
         "polyfill_eq": _q_polyfill_eq,
@@ -2140,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior round (rotation ledger: FIXTURES.md section 5)
         "salted_cell_agg": _q_salted_cell_agg,
         "tpch_pricing": _q_tpch_pricing,
+        "neighbors_interior": _q_neighbors_interior,
         "minhash_sig": _q_minhash_sig,
         "simhash": _q_simhash,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -3571,6 +3651,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": _image_decode_oracle_sql(),
         "image_resize": _image_resize_oracle_sql(),
         "kdisk_multiface": _kdisk_multiface_oracle_sql(),
+        "url_canonical": _url_canonical_oracle_sql(),
         # All former rows-only queries graduated to independent
         # oracles: region_cover / zone_from_poly / linetrace_many /
         # polyfill / kring_sizes in round 3 (reference-EXECUTED VALUES

@@ -205,6 +205,47 @@ class TestJoins:
         assert got == ["N4", "P3"]
 
 
+class TestUrlCanonical:
+    def test_rules(self, spark):
+        from rhealpixdggs_spark.functions.urls import canonical_url, url_host
+
+        cases = [
+            # (raw, canon, host)
+            ("HTTP://WWW.Ex.COM:80/A/B?z=1&a=2#x",
+             "http://www.ex.com/A/B?a=2&z=1", "www.ex.com"),
+            ("https://ex.com:8443", "https://ex.com:8443/", "ex.com"),
+            ("https://Ex.com/?utm_source=a&utm_medium=b",
+             "https://ex.com/", "ex.com"),
+            ("http://ex.com:8080/p?b=2&a=1",
+             "http://ex.com:8080/p?a=1&b=2", "ex.com"),
+            ("https://ex.com/path", "https://ex.com/path", "ex.com"),
+        ]
+        df = spark.createDataFrame([(i, u) for i, (u, _, _) in enumerate(cases)],
+                                   "i int, url string")
+        got = {
+            r.i: (r.c, r.h)
+            for r in df.select(
+                "i",
+                canonical_url(F.col("url")).alias("c"),
+                url_host(F.col("url")).alias("h"),
+            ).collect()
+        }
+        for i, (_, canon, host) in enumerate(cases):
+            assert got[i] == (canon, host), (i, got[i])
+
+    def test_canonical_is_idempotent(self, spark):
+        from rhealpixdggs_spark.functions.urls import canonical_url
+
+        df = spark.createDataFrame(
+            [("HTTPS://A.B:443/x?utm_x=1&b=2&a=1#f",)], "url string"
+        )
+        once = df.select(canonical_url(F.col("url")).alias("c"))
+        twice = once.select(canonical_url(F.col("c")).alias("c2"))
+        a = once.first().c
+        b = twice.first().c2
+        assert a == b == "https://a.b/x?a=1&b=2"
+
+
 class TestDedupText:
     def _docs(self, spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
