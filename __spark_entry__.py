@@ -556,6 +556,51 @@ def _q_ngram_jaccard(spark, sf_dir):
     ).where(F.col("jaccard") > 0)
 
 
+def _q_ann_quantized(spark, sf_dir):
+    """int8-quantized brute cosine top-k
+    (operators/similarity.quantize_embeddings + cosine_topk_quantized):
+    per-vector symmetric quantization, EXACT integer dot products, one
+    double division per pair — the 4x scan-reduction scale path.
+    Oracle re-derives quantization + integer cosine in DuckDB list
+    functions (round-half-away matches Spark ROUND)."""
+    from rhealpixdggs_spark.operators.similarity import cosine_topk_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return cosine_topk_quantized(emb, queries, 5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _ann_quantized_oracle_sql() -> str:
+    return """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        z AS (
+          SELECT vec_id,
+            list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+              ELSE CAST(round(x / (mx / 127.0)) AS INT) END) AS q
+          FROM (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS mx
+                FROM e)),
+        qs AS (SELECT vec_id AS query_id, q AS qq FROM z WHERE vec_id < 3),
+        d AS (
+          SELECT qs.query_id, z.vec_id,
+            round(list_dot_product(z.q, qs.qq)
+              / (sqrt(list_dot_product(z.q, z.q))
+                 * sqrt(list_dot_product(qs.qq, qs.qq))), 6) AS cos
+          FROM z, qs)
+        SELECT query_id, vec_id, cos, rnk AS rank FROM (
+          SELECT query_id, vec_id, cos,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS rnk
+          FROM d) WHERE rnk <= 5
+        ORDER BY query_id, rank
+    """
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _doubled(F.col("embedding")).alias("embedding")
@@ -2188,7 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": _q_source_rollup,
         "url_canonical": _q_url_canonical,
         "region_cover_ell": _q_region_cover_ell,
-        "region_cover_planar": _q_region_cover_planar,
+        "ann_quantized": _q_ann_quantized,
         "polyfill_eq": _q_polyfill_eq,
         "zone_catchment": _q_zone_catchment,
         "zone_assign": _q_zone_assign,
@@ -2220,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_cell_agg": _q_salted_cell_agg,
         "tpch_pricing": _q_tpch_pricing,
         "neighbors_interior": _q_neighbors_interior,
+        "region_cover_planar": _q_region_cover_planar,
         "minhash_sig": _q_minhash_sig,
         "simhash": _q_simhash,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -3652,6 +3698,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": _image_resize_oracle_sql(),
         "kdisk_multiface": _kdisk_multiface_oracle_sql(),
         "url_canonical": _url_canonical_oracle_sql(),
+        "ann_quantized": _ann_quantized_oracle_sql(),
         # All former rows-only queries graduated to independent
         # oracles: region_cover / zone_from_poly / linetrace_many /
         # polyfill / kring_sizes in round 3 (reference-EXECUTED VALUES

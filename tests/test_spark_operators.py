@@ -607,6 +607,42 @@ class TestSimilarity:
         assert (got.vec_id == got.query_id).all()
 
 
+class TestQuantizedAnn:
+    def test_quantization_bounds_and_zero_vector(self, spark):
+        from rhealpixdggs_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+        assert rows[0].qvec == [64, -127, 32]  # round(x*127/max|x|)
+        assert rows[0].scale == 1.0 / 127.0
+        assert rows[1].qvec == [0, 0, 0] and rows[1].scale == 0.0
+
+    def test_quantized_topk_tracks_float_topk(self, spark, rng):
+        from rhealpixdggs_spark.operators.similarity import (
+            cosine_topk_brute,
+            cosine_topk_quantized,
+        )
+
+        vecs = [(i, rng.standard_normal(16).tolist()) for i in range(300)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        qs = spark.createDataFrame(
+            [(i, v) for i, v in vecs[:2]],
+            "query_id long, q_embedding array<double>",
+        )
+        exact = cosine_topk_brute(df, qs, 10)
+        quant = cosine_topk_quantized(df, qs, 10)
+        for qid in (0, 1):
+            e = {r.vec_id for r in exact.where(F.col("query_id") == qid).collect()}
+            g = {r.vec_id for r in quant.where(F.col("query_id") == qid).collect()}
+            # int8 quantization error is <= ~1/127 per component; the
+            # top-10 sets agree on at least 8 of 10 on random data.
+            assert len(e & g) >= 8, (qid, e, g)
+            assert qid in g  # self-match always survives quantization
+
+
 class TestScalePath:
     def test_knn_adaptive_expands_to_match_brute(self, spark, rng):
         from rhealpixdggs_spark.operators.joins import knn_join_rings_adaptive
