@@ -588,9 +588,13 @@ def _ann_quantized_oracle_sql() -> str:
         qs AS (SELECT vec_id AS query_id, q AS qq FROM z WHERE vec_id < 3),
         d AS (
           SELECT qs.query_id, z.vec_id,
-            round(list_dot_product(z.q, qs.qq)
-              / (sqrt(list_dot_product(z.q, z.q))
-                 * sqrt(list_dot_product(qs.qq, qs.qq))), 6) AS cos
+            round(CASE WHEN sqrt(list_dot_product(z.q, z.q))
+                            * sqrt(list_dot_product(qs.qq, qs.qq)) = 0
+                       THEN 0.0
+                       ELSE list_dot_product(z.q, qs.qq)
+                          / (sqrt(list_dot_product(z.q, z.q))
+                             * sqrt(list_dot_product(qs.qq, qs.qq)))
+                  END, 6) AS cos
           FROM z, qs)
         SELECT query_id, vec_id, cos, rnk AS rank FROM (
           SELECT query_id, vec_id, cos,
@@ -2092,15 +2096,18 @@ def _kdisk_multiface_oracle_sql() -> str:
 def _q_url_canonical(spark, sf_dir):
     """URL canonicalization (functions/urls.py — pure column
     expressions, map-only): deterministic messy URLs synthesized per
-    doc_id exercise every rule (uppercase scheme/host, default vs
-    non-default ports, empty paths, utm_* params, unsorted params,
-    fragments), then canonical form + host rollup key. Oracle
-    re-derives the rules with DuckDB regexp/list functions."""
+    doc_id exercise every rule (uppercase scheme/host, userinfo
+    credentials, default vs non-default ports, empty paths, utm_*
+    params, unsorted params, fragments), then canonical form + host
+    rollup key. Oracle re-derives the rules with DuckDB regexp/list
+    functions."""
     from rhealpixdggs_spark.functions.urls import canonical_url, url_host
 
     d = F.col("doc_id")
     url = F.concat(
-        F.lit("HTTPS://Site"), (d % 37).cast("string"), F.lit(".Example.COM"),
+        F.lit("HTTPS://"),
+        F.when(d % 11 == 0, F.lit("User:Pw@")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 37).cast("string"), F.lit(".Example.COM"),
         F.when(d % 3 == 0, F.lit(":443"))
         .when(d % 3 == 1, F.lit(":8443"))
         .otherwise(F.lit("")),
@@ -2123,7 +2130,9 @@ def _url_canonical_oracle_sql() -> str:
     return r"""
         WITH u AS (
           SELECT doc_id,
-            'HTTPS://Site' || (doc_id % 37) || '.Example.COM'
+            'HTTPS://'
+            || CASE WHEN doc_id % 11 = 0 THEN 'User:Pw@' ELSE '' END
+            || 'Site' || (doc_id % 37) || '.Example.COM'
             || CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 1 THEN ':8443'
                ELSE '' END
             || CASE WHEN doc_id % 4 = 0 THEN '' ELSE '/P/' || doc_id END
@@ -2143,7 +2152,9 @@ def _url_canonical_oracle_sql() -> str:
             regexp_extract(hp, ':([0-9]+)$', 1) AS port,
             regexp_replace(rest, '^[^/?]*', '') AS pathq
           FROM (SELECT doc_id, scheme, rest,
-                       regexp_extract(rest, '^([^/?]*)', 1) AS hp FROM p)),
+                       regexp_replace(
+                         regexp_extract(rest, '^([^/?]*)', 1),
+                         '^[^@]*@', '') AS hp FROM p)),
         r AS (
           SELECT doc_id, scheme, host, port,
             CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'

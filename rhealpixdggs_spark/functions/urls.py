@@ -4,6 +4,8 @@ per-URL pipeline needs a canonical join/dedup key for pages).
 
 Canonical form (the common crawl-dedup conventions):
   - scheme and host lowercased;
+  - userinfo (user:pass@) stripped from the authority — credentials
+    never belong in a dedup key;
   - #fragment stripped;
   - default ports dropped (http:80, https:443), others kept;
   - empty path normalized to '/';
@@ -16,6 +18,15 @@ Everything compiles to whole-stage-codegen string/array expressions
 map-only stage to any scan — no shuffle, no Python. The DuckDB twin
 in the driver contract re-derives the same form with list_filter /
 list_sort, gating every rule bit-for-bit.
+
+Documented limitations (out of scope for the crawl-dedup key):
+  - scheme-relative / scheme-less inputs ("//host/x", "host/x")
+    produce a canonical form with an empty scheme ("://host/x") —
+    crawl URL tables carry absolute URLs; pre-filter or prepend a
+    scheme upstream if yours do not;
+  - IPv6 host literals ("[::1]:8080") are not parsed — the ':'
+    host/port split assumes a reg-name or IPv4 host (the common-crawl
+    case); bracketed literals keep their brackets and lose the port.
 """
 
 from __future__ import annotations
@@ -32,6 +43,9 @@ def url_parts(url: Column) -> dict[str, Column]:
     scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
     rest = F.regexp_replace(no_frag, _SCHEME_RE, "")
     hostport = F.regexp_extract(rest, "^([^/?]*)", 1)
+    # strip userinfo: RFC 3986 forbids a raw '@' inside host, so
+    # everything up to the first '@' in the authority is credentials
+    hostport = F.regexp_replace(hostport, "^[^@]*@", "")
     host = F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
     port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
     pathq = F.regexp_replace(rest, "^[^/?]*", "")

@@ -286,7 +286,12 @@ def parse_ppm(buf: bytes):
     width/height/maxval tokens separated by whitespace with '#'
     comments running to end-of-line, ONE whitespace byte, then
     width*height*3 raw bytes (maxval < 256). Returns
-    (width, height, uint8 pixel array) or None if not P6."""
+    (width, height, uint8 pixel array), or None for anything that is
+    not a WELL-FORMED 8-bit P6 — including 'P6'-prefixed buffers with
+    a truncated/garbled header, maxval >= 256, or a pixel buffer
+    shorter than width*height*3 — so one corrupt payload falls
+    through to the caller's next decoder instead of failing the
+    whole Arrow batch."""
     if len(buf) < 2 or buf[:2] != b"P6":
         return None
     pos, vals = 2, []
@@ -301,14 +306,19 @@ def parse_ppm(buf: bytes):
         start = pos
         while pos < n and not buf[pos : pos + 1].isspace():
             pos += 1
-        if pos == start:
-            raise ValueError("truncated PPM header")
-        vals.append(int(buf[start:pos]))
+        if pos == start:  # truncated header
+            return None
+        try:
+            vals.append(int(buf[start:pos]))
+        except ValueError:  # non-numeric header token
+            return None
     pos += 1  # exactly one whitespace byte after maxval
     w, h, maxval = vals
-    if maxval >= 256:
-        raise ValueError("16-bit PPM not supported")
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        return None  # 16-bit PPM / degenerate dims: not our format
     count = w * h * 3
+    if n - pos < count:  # truncated pixel buffer
+        return None
     px = np.frombuffer(buf, dtype=np.uint8, count=count, offset=pos)
     return w, h, px
 

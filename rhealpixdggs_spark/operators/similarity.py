@@ -108,7 +108,11 @@ def cosine_topk_quantized(
     zip_with/aggregate (exact, engine-independent), one double
     division per pair — the 4x-less-bytes variant of
     cosine_topk_brute. Ranking differs from the float path only by
-    quantization error (<= ~1/127 per component)."""
+    quantization error (<= ~1/127 per component). A zero vector on
+    either side (all-zero qvec by quantize_embeddings design) gets a
+    DEFINED cos of 0.0 — guarded on both the Spark expression and
+    the SQL oracle twin, since NULL/NaN division behavior is
+    engine-version-dependent and would rank nondeterministically."""
     qv = quantize_embeddings(vectors, vec_col, id_col)
     qq = quantize_embeddings(queries, query_vec, query_id).select(
         F.col(query_id), F.col("qvec").alias("q_qvec")
@@ -122,12 +126,11 @@ def cosine_topk_quantized(
             lambda acc, x: acc + x,
         )
 
-    cos = (
-        idot(F.col("qvec"), F.col("q_qvec")).cast("double")
-        / (
-            F.sqrt(idot(F.col("qvec"), F.col("qvec")).cast("double"))
-            * F.sqrt(idot(F.col("q_qvec"), F.col("q_qvec")).cast("double"))
-        )
+    denom = F.sqrt(idot(F.col("qvec"), F.col("qvec")).cast("double")) * F.sqrt(
+        idot(F.col("q_qvec"), F.col("q_qvec")).cast("double")
+    )
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        idot(F.col("qvec"), F.col("q_qvec")).cast("double") / denom
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(id_col))
     return (

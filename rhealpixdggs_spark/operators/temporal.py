@@ -226,7 +226,12 @@ def asof_join_bucketed(
 
     bucket_width="auto" (the default) derives the width from a
     one-pass key-frequency + range sketch (choose_bucket_width) sized
-    by `rows_per_bucket`; pass an explicit number to pin it.
+    by `rows_per_bucket`. NOTE: like zone_subtract's derived bound,
+    "auto" runs that sketch EAGERLY at plan-construction time — two
+    aggregations plus a `.first()` action over both inputs, re-run on
+    every invocation. In a loop, or when the inputs are expensive to
+    recompute, either cache the inputs or pin an explicit numeric
+    `bucket_width` (which keeps this builder fully lazy).
     """
     if bucket_width == "auto":
         bucket_width = choose_bucket_width(

@@ -996,13 +996,17 @@ def polyfill_many(
         # is a single inverse projection per cell (straight from the
         # planar center, no suid), and |centroid lon - nucleus lon| is
         # bounded by the cell's lon span <= 45deg/dlo (a ring side of
-        # 2*dlo cells maps to 90deg) — the pad 180/max(dlo, 0.5) is 4x
+        # 2*dlo cells maps to 90deg) — the pad HALF/max(dlo, 0.5) is 4x
         # that, so every centroid-inside cell survives the prune.
+        # HALF is the cfg-unit half-turn (pi for radians configs): the
+        # circular wrap and pad below MUST be in the same units as
+        # lam_mid/lam_half (raw polygon lons) and rhealpix_inverse.
+        HALF = np.pi if cfg.radians else 180.0
         dlo_j = F.greatest(
             half - (F.col("fj") + 1), F.col("fj") - half, F.lit(0.0)
         )
         dlo_cell = F.greatest(dlo_i, dlo_j)
-        pad = F.lit(180.0) / F.greatest(dlo_cell, F.lit(0.5))
+        pad = F.lit(HALF) / F.greatest(dlo_cell, F.lit(0.5))
 
         @pandas_udf(T.DoubleType())
         def _cap_nuc_lon(face_s: pd.Series, fi_s: pd.Series,
@@ -1031,7 +1035,8 @@ def polyfill_many(
         circ = F.abs(
             ((_cap_nuc_lon.asNondeterministic()(
                 F.col("face"), F.col("fi"), F.col("fj")
-            ) - F.col("lam_mid") + 540.0) % 360.0) - 180.0
+            ) - F.col("lam_mid") + F.lit(3 * HALF)) % F.lit(2 * HALF))
+            - F.lit(HALF)
         )
         gj = gj.join(bboxes, "zone").where(
             circ <= F.col("lam_half") + pad

@@ -141,10 +141,14 @@ class TestMultimodal:
 
         assert parse_ppm(b"notppm") is None
         assert parse_ppm(b"") is None
-        with pytest.raises(ValueError, match="truncated"):
-            parse_ppm(b"P6\n# only a comment")
-        with pytest.raises(ValueError, match="16-bit"):
-            parse_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24)
+        # ADVICE r4: malformed 'P6'-prefixed buffers must fall through
+        # (return None) so one corrupt payload can't fail a whole
+        # Arrow batch — they route to the caller's next decoder.
+        assert parse_ppm(b"P6\n# only a comment") is None  # truncated header
+        assert parse_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24) is None  # 16-bit
+        assert parse_ppm(b"P6\n2 x\n255\n" + b"\0" * 12) is None  # garbled dim
+        assert parse_ppm(b"P6\n2 2\n255\n" + b"\0" * 5) is None  # short pixels
+        assert parse_ppm(b"P6\n0 2\n255\n") is None  # degenerate dims
         # Arbitrary whitespace runs and multiple comments are legal.
         pw, ph, px = parse_ppm(b"P6\n#a\n  \t2\n#b\n 1  255\n" + bytes(range(6)))
         assert (pw, ph) == (2, 1) and list(px) == [0, 1, 2, 3, 4, 5]

@@ -219,6 +219,11 @@ class TestUrlCanonical:
             ("http://ex.com:8080/p?b=2&a=1",
              "http://ex.com:8080/p?a=1&b=2", "ex.com"),
             ("https://ex.com/path", "https://ex.com/path", "ex.com"),
+            # ADVICE r4: userinfo is credentials, never a dedup key —
+            # stripped before the host/port split so 'user' is not
+            # mistaken for the host.
+            ("http://User:Pw@Ex.COM/a", "http://ex.com/a", "ex.com"),
+            ("https://tok@ex.com:443/b?b=1", "https://ex.com/b?b=1", "ex.com"),
         ]
         df = spark.createDataFrame([(i, u) for i, (u, _, _) in enumerate(cases)],
                                    "i int, url string")
@@ -619,6 +624,31 @@ class TestQuantizedAnn:
         assert rows[0].qvec == [64, -127, 32]  # round(x*127/max|x|)
         assert rows[0].scale == 1.0 / 127.0
         assert rows[1].qvec == [0, 0, 0] and rows[1].scale == 0.0
+
+    def test_zero_vector_gets_defined_cos(self, spark):
+        """ADVICE r4: an all-zero qvec makes the cosine denominator 0;
+        the guard must yield a DEFINED cos of 0.0 (not NULL/NaN) so
+        zero-norm rows rank deterministically and match the DuckDB
+        oracle regardless of its version's 0/0 convention."""
+        from rhealpixdggs_spark.operators.similarity import cosine_topk_quantized
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        qs = spark.createDataFrame(
+            [(7, [1.0, 1.0]), (8, [0.0, 0.0])],
+            "query_id long, q_embedding array<double>",
+        )
+        got = cosine_topk_quantized(df, qs, 3).collect()
+        assert len(got) == 6  # every pair ranked, none dropped as NULL
+        for r in got:
+            assert r.cos is not None and r.cos == r.cos  # no NULL, no NaN
+            if r.query_id == 8 or r.vec_id == 1:
+                assert r.cos == 0.0
+        # zero-vector rows tie at cos 0 and break ties by vec_id asc
+        q8 = sorted((r.rank, r.vec_id) for r in got if r.query_id == 8)
+        assert q8 == [(1, 0), (2, 1), (3, 2)]
 
     def test_quantized_topk_tracks_float_topk(self, spark, rng):
         from rhealpixdggs_spark.operators.similarity import (

@@ -263,6 +263,43 @@ class TestPolyfillMany:
             )
             assert sorted(by_zone.get(name, [])) == exp, name
 
+    def test_radians_cap_polygon_near_seam(self, spark):
+        """ADVICE r4 (medium): the cap nucleus-longitude prune must
+        wrap in cfg units. With the old degree constants a radians
+        config compared radian differences against pad=180/dlo (~57x
+        too wide, disabling the prune entirely — a performance hole:
+        every cap-annulus candidate fed the ~1.75 ms/cell GL centroid
+        pass) and, symmetrically, the unwrapped circular difference
+        could exceed the degree pad for seam-adjacent candidates.
+        Gate: radians result == degrees result verbatim on a lon-thin
+        pure-cap polygon touching the seam, at a res where the pad is
+        tight (res 5, dlo ~90-113)."""
+        import numpy as np
+
+        from rhealpixdggs_spark.kernel.constants import WGS84_003_RADIANS
+        from rhealpixdggs_spark.operators.tiling import polyfill_many
+
+        # Lon-thin pure-cap polygon TOUCHING the seam from the west,
+        # near the cap edge so dlo is large and the pad is tight:
+        # interior cells straddling the lon=180 face diagonal have
+        # nuclei represented at ~-pi, an unwrapped ~2*pi away from
+        # lam_mid ~ +3.1 — exactly what the degree formula fails to
+        # wrap for a radians config.
+        ring_deg = [(176.0, 45.0), (180.0, 45.0), (178.0, 55.0)]
+        zones_deg = {"seamcap": [(ring_deg, [])]}
+        ring_rad = [tuple(np.radians(p)) for p in ring_deg]
+        zones_rad = {"seamcap": [(ring_rad, [])]}
+        exp = sorted(
+            r.tile_id for r in polyfill_many(spark, zones_deg, 5).collect()
+        )
+        got = sorted(
+            r.tile_id
+            for r in polyfill_many(
+                spark, zones_rad, 5, cfg=WGS84_003_RADIANS
+            ).collect()
+        )
+        assert got == exp and len(got) > 0
+
     def test_dateline_polygon_auto_split(self, spark):
         """A crossing ring with the flag unset must auto-split (same
         result as split_dateline=True), and split_dateline=False must
