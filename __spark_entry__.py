@@ -605,6 +605,103 @@ def _ann_quantized_oracle_sql() -> str:
     """
 
 
+_ORACLE_COSINE_TOPK = """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            d AS (
+              SELECT q.query_id, e.vec_id,
+                round(list_dot_product(e.v, q.qv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos
+              FROM e, q)
+            SELECT query_id, vec_id, cos, rnk FROM (
+              SELECT query_id, vec_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rnk
+              FROM d) WHERE rnk <= 5
+        """
+
+
+def _q_ann_recall(spark, sf_dir):
+    """Recall@5 of every ANN path vs the brute-force cosine top-k
+    (VERDICT r4 item 3): RP-LSH (4 planes), IVF at nprobe=1 and
+    nprobe=2, and int8 quantized — one row per method, recall =
+    |method top-5 ∩ brute top-5| / |brute top-5| over the 3 fixture
+    queries. brute-vs-brute is included as a 1.0 self-check. The
+    oracle re-derives every method AND the recall aggregation in
+    DuckDB (each method twin is already bit-exact standalone), so the
+    recall numbers users pick paths by are themselves gated."""
+    from functools import reduce
+
+    from rhealpixdggs_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_codebook,
+    )
+
+    brute = _q_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _doubled(F.col("embedding")).alias("embedding")
+    )
+    queries_df = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = ivf_codebook(dim=64, k=4, seed=7)
+    methods = {
+        "brute": brute,
+        "ivf_p1": cosine_topk_ivf(emb, queries_df, k=5, centroids=cents, nprobe=1),
+        "ivf_p2": cosine_topk_ivf(emb, queries_df, k=5, centroids=cents, nprobe=2),
+        "lsh": _q_lsh_cosine_topk(spark, sf_dir),
+        "quantized": _q_ann_quantized(spark, sf_dir),
+    }
+    total = brute.agg(F.count(F.lit(1)).alias("t"))
+    parts = []
+    for name, df in methods.items():
+        hits = (
+            df.select("query_id", "vec_id")
+            .join(brute, ["query_id", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        parts.append(
+            hits.crossJoin(total).select(
+                F.lit(name).alias("method"),
+                F.lit(5).alias("k"),
+                F.round(F.col("h") / F.col("t"), 4).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("method")
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Each method's existing DuckDB twin nested as a CTE, then the
+    same hits/total aggregation per method."""
+    brute = _ORACLE_COSINE_TOPK
+    methods = {
+        "brute": brute,
+        "ivf_p1": _ivf_topk_oracle_sql(k=5, dim=64, n_cent=4, nprobe=1),
+        "ivf_p2": _ivf_topk_oracle_sql(k=5, dim=64, n_cent=4, nprobe=2),
+        "lsh": _lsh_cosine_topk_oracle_sql(k=5, dim=64, n_planes=4),
+        "quantized": _ann_quantized_oracle_sql(),
+    }
+    arms = "\n          UNION ALL ".join(
+        f"""SELECT '{name}' AS method, 5 AS k,
+              round(count(*) * 1.0
+                    / (SELECT count(*) FROM sel), 4) AS recall
+            FROM (SELECT query_id, vec_id FROM m_{name}) m
+            JOIN sel USING (query_id, vec_id)"""
+        for name in methods
+    )
+    ctes = ",\n        ".join(
+        f"m_{name} AS ({sql})" for name, sql in methods.items()
+    )
+    return f"""
+        WITH {ctes},
+        sel AS (SELECT query_id, vec_id FROM m_brute)
+        SELECT method, k, recall FROM (
+          {arms}
+        ) ORDER BY method
+    """
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _doubled(F.col("embedding")).alias("embedding")
@@ -1175,6 +1272,74 @@ def _q_near_dup_embeddings(spark, sf_dir):
     from rhealpixdggs_spark.operators.dedup import embedding_near_pairs
 
     return embedding_near_pairs(_emb_with_near_dups(spark, sf_dir), threshold=0.999)
+
+
+def _q_near_dup_lsh(spark, sf_dir):
+    """Bucketed embedding near-PAIR enumeration (VERDICT r4 item 1):
+    banded random-projection keys -> equi-join candidates -> exact
+    cosine re-rank (dedup.embedding_near_pairs_lsh) on the planted
+    near-dup fixture. Every join is an equi-join — the plan test pins
+    no BroadcastNestedLoopJoin/CartesianProduct. The oracle re-derives
+    the seed-42 hyperplane band keys as SQL literals (same pattern as
+    lsh_cosine_topk) and the same candidate self-join."""
+    from rhealpixdggs_spark.operators.dedup import embedding_near_pairs_lsh
+
+    return embedding_near_pairs_lsh(
+        _emb_with_near_dups(spark, sf_dir),
+        dim=64,
+        threshold=0.999,
+        n_bits=16,
+        bands=4,
+    )
+
+
+def _near_dup_lsh_oracle_sql(dim=64, n_bits=16, bands=4, seed=42):
+    """DuckDB twin of embedding_near_pairs_lsh: regenerate the seed-42
+    hyperplanes as literal lists, compute each band's sign-bit key,
+    self-join on (band, key), then exact-cosine re-rank of the
+    distinct candidate pairs."""
+    from rhealpixdggs_spark.operators.similarity import _hyperplanes
+    from rhealpixdggs_spark.oracle_sql import _r
+
+    planes = _hyperplanes(dim, n_bits, seed)
+    r = n_bits // bands
+
+    def lst(p):
+        return "[" + ", ".join(_r(x) for x in p) + "]"
+
+    def band_key(b):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lst(planes[b * r + j])}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
+        )
+
+    band_selects = "\n          UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band, ({band_key(b)}) AS key FROM u"
+        for b in range(bands)
+    )
+    return f"""
+        WITH u AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(embedding::DOUBLE[], x -> x * 2.0e0) AS v
+          FROM embeddings WHERE vec_id % 10 = 0),
+        k AS MATERIALIZED (
+          {band_selects}),
+        c AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM k a JOIN k b ON a.band = b.band AND a.key = b.key
+                           AND a.vec_id < b.vec_id),
+        d AS (
+          SELECT c.id_a, c.id_b,
+            round(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+          FROM c JOIN u x ON x.vec_id = c.id_a
+                 JOIN u y ON y.vec_id = c.id_b)
+        SELECT id_a, id_b, cos FROM d WHERE cos >= 0.999e0
+    """
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
@@ -2093,6 +2258,84 @@ def _kdisk_multiface_oracle_sql() -> str:
     """
 
 
+_HEX7_KDISK_K = 3
+
+
+def _hex7_kdisk_seeds() -> list[int]:
+    """Deterministic res-2 hex7 seeds at the three places cross-face
+    adjacency matters: an icosahedron VERTEX (5 faces meet), an EDGE
+    midpoint (2 faces), and a face CENTER (interior control). Derived
+    from the kernel's own computed geometry — no tabulated ids."""
+    import numpy as np
+
+    from rhealpixdggs_spark.kernel import hex7 as H
+
+    pts = [H.VERTS[0]]
+    m = (H.VERTS[H.FACES[0][0]] + H.VERTS[H.FACES[0][1]]) / 2.0
+    pts.append(m / np.linalg.norm(m))
+    pts.append(H.FACE_N[7])
+    pts = np.asarray(pts)
+    lat = np.degrees(np.arcsin(np.clip(pts[:, 2], -1, 1)))
+    lon = np.degrees(np.arctan2(pts[:, 1], pts[:, 0]))
+    return [int(c) for c in H.encode(lon, lat, 2)]
+
+
+def _q_hex7_kdisk(spark, sf_dir):
+    """Graph-distance-3 hex7 disks from vertex/edge/center seeds via
+    operators/joins.hex7_k_disk — the cross-face disk the face-local
+    kernel k_ring cannot produce (VERDICT r4 item 5, the hex7 twin of
+    kdisk_multiface). Oracle: recursive-CTE BFS over the kernel-
+    exported forward edge list, so the distributed BFS machinery is
+    gated against an independent SQL traversal of the same relation."""
+    from rhealpixdggs_spark.operators.joins import hex7_k_disk
+
+    seeds = spark.createDataFrame(
+        [(c,) for c in _hex7_kdisk_seeds()], "cell_id long"
+    )
+    return hex7_k_disk(seeds, _HEX7_KDISK_K).orderBy("seed", "cell_id")
+
+
+def _hex7_kdisk_oracle_sql() -> str:
+    """Forward-BFS closure computed with the NumPy kernel (edges out
+    of every cell within k-1 steps of any seed), exported as VALUES;
+    DuckDB recursively traverses them per seed."""
+    import numpy as np
+
+    from rhealpixdggs_spark.kernel import hex7 as H
+
+    seeds = _hex7_kdisk_seeds()
+    k = _HEX7_KDISK_K
+    frontier, visited = set(seeds), set(seeds)
+    edges: set[tuple[int, int]] = set()
+    for _ in range(k):
+        fr = np.array(sorted(frontier), dtype=np.int64)
+        nbs = H.neighbors(fr)
+        nxt: set[int] = set()
+        for i in range(fr.shape[0]):
+            src = int(fr[i])
+            for nb in nbs[i]:
+                edges.add((src, int(nb)))
+                nxt.add(int(nb))
+        frontier = nxt - visited
+        visited |= nxt
+    ev = ", ".join(f"({a}, {b})" for a, b in sorted(edges))
+    sv = ", ".join(f"({c})" for c in seeds)
+    return f"""
+        WITH RECURSIVE e(cell_id, nb) AS (VALUES {ev}),
+        seeds(seed) AS (VALUES {sv}),
+        bfs(seed, cell_id, dist) AS (
+          SELECT seed, seed, 0 FROM seeds
+          UNION ALL
+          SELECT b.seed, e.nb, b.dist + 1
+          FROM bfs b JOIN e ON e.cell_id = b.cell_id
+          WHERE b.dist < {k}
+        )
+        SELECT seed, cell_id, MIN(dist) AS dist
+        FROM bfs GROUP BY seed, cell_id
+        ORDER BY seed, cell_id
+    """
+
+
 def _q_url_canonical(spark, sf_dir):
     """URL canonicalization (functions/urls.py — pure column
     expressions, map-only): deterministic messy URLs synthesized per
@@ -2245,6 +2488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "region_cover_ell": _q_region_cover_ell,
         "ann_quantized": _q_ann_quantized,
+        "near_dup_lsh": _q_near_dup_lsh,
+        "ann_recall": _q_ann_recall,
         "polyfill_eq": _q_polyfill_eq,
         "zone_catchment": _q_zone_catchment,
         "zone_assign": _q_zone_assign,
@@ -2253,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_to_vector": _q_raster_to_vector,
         "zone_dateline": _q_zone_dateline,
         "kdisk_multiface": _q_kdisk_multiface,
+        "hex7_kdisk": _q_hex7_kdisk,
         "s2_cross_index": _q_s2_cross_index,
         "s2_encode": _q_s2_encode,
         "hex7_cross_index": _q_hex7_cross_index,
@@ -3300,21 +3546,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.g, b.g)) > 0
         """,
-        "cosine_topk": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
-            d AS (
-              SELECT q.query_id, e.vec_id,
-                round(list_dot_product(e.v, q.qv)
-                  / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos
-              FROM e, q)
-            SELECT query_id, vec_id, cos, rnk FROM (
-              SELECT query_id, vec_id, cos,
-                row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, vec_id) AS rnk
-              FROM d) WHERE rnk <= 5
-        """,
+        "cosine_topk": _ORACLE_COSINE_TOPK,
         "embedding_norms": """
             SELECT vec_id, label,
               round(sqrt(list_dot_product(embedding::DOUBLE[],
@@ -3708,8 +3940,11 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": _image_decode_oracle_sql(),
         "image_resize": _image_resize_oracle_sql(),
         "kdisk_multiface": _kdisk_multiface_oracle_sql(),
+        "hex7_kdisk": _hex7_kdisk_oracle_sql(),
         "url_canonical": _url_canonical_oracle_sql(),
         "ann_quantized": _ann_quantized_oracle_sql(),
+        "near_dup_lsh": _near_dup_lsh_oracle_sql(),
+        "ann_recall": _ann_recall_oracle_sql(),
         # All former rows-only queries graduated to independent
         # oracles: region_cover / zone_from_poly / linetrace_many /
         # polyfill / kring_sizes in round 3 (reference-EXECUTED VALUES

@@ -19,6 +19,7 @@ __all__ = [
     "hex7_encode",
     "hex7_center",
     "hex7_k_ring",
+    "hex7_neighbors",
     "hex7_parent",
     "hex7_resolution",
     "hex7_face",
@@ -75,6 +76,28 @@ def hex7_k_ring(cell: Column, k: int = 1) -> Column:
         return pd.Series(out, index=c.index)
 
     return _kr.asNondeterministic()(cell)
+
+
+def hex7_neighbors(cell: Column) -> Column:
+    """Cross-face-correct 6-neighborhood (kernel hex7.neighbors): the
+    lattice neighbor on the same face, or the gnomonic re-encode onto
+    the adjacent face's lattice when the neighbor center crosses an
+    icosahedron edge. Array of 6 ids (duplicates possible near
+    vertices — consumers dedupe)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _nb(c: pd.Series) -> pd.Series:
+        arr = c.to_numpy(np.int64)
+        res = (arr >> H._RES_SHIFT) & 0xF
+        out = np.empty(arr.shape[0], dtype=object)
+        for r in np.unique(res):
+            m = np.where(res == r)[0]
+            nbs = H.neighbors(arr[m])
+            for row, i in enumerate(m):
+                out[i] = nbs[row].tolist()
+        return pd.Series(out, index=c.index)
+
+    return _nb.asNondeterministic()(cell)
 
 
 def hex7_parent(cell: Column, parent_res: int) -> Column:

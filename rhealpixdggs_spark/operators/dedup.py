@@ -238,8 +238,11 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs; for the
-    LSH-bucketed scale path see similarity.lsh_buckets)."""
+    """Embedding-cosine near-duplicate pairs, EXACT ALL-PAIRS — a
+    verification / small-table tool (the non-equi `id_a < id_b` join
+    is a nested loop at scale). The 100-TB pair-enumeration path is
+    :func:`embedding_near_pairs_lsh` (banded random-projection
+    buckets, equi-join shuffle keys)."""
     from .similarity import cosine_expr
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
@@ -247,6 +250,74 @@ def embedding_near_pairs(
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_near_pairs_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIR ENUMERATION at scale
+    (VERDICT r4 item 1): signed-random-projection band keys ->
+    band-hash equi-join -> within-bucket candidate pairs -> exact
+    cosine re-rank, the same banding plan as
+    :func:`minhash_lsh_candidates` — every join in the plan is an
+    equi-join (shuffle keys `(band, key)` then `id`), NO nested-loop
+    / cartesian stage anywhere, so the plan survives 100 TB.
+
+    Banding math: `n_bits` seeded hyperplanes (the shared
+    `similarity._hyperplanes` family) are split into `bands` bands of
+    r = n_bits/bands sign bits. Two vectors at angle theta share one
+    bit with p = 1 - theta/pi, a band with p^r, and at least one band
+    with 1 - (1-p^r)^bands: for cos >= 0.95 (theta <= 18deg, p ~ .90)
+    the 16/4 defaults give ~98.6% recall per pair; exact-direction
+    duplicates (cos 1.0) share every band and are never missed.
+
+    Cost shape: the bucket self-join carries only (id, band, key) —
+    8-byte keys, vectors stay home; candidates join back to the
+    vectors by id for the exact re-rank, so vector bytes are shuffled
+    only for candidate ids, proportional to matches not to rows.
+    Output: (id_a, id_b, cos) — a SUBSET of embedding_near_pairs
+    (candidates only), identical on exact duplicates."""
+    from .similarity import _hyperplanes, cosine_expr, rp_bucket_expr
+
+    assert n_bits % bands == 0, "n_bits must split evenly into bands"
+    r = n_bits // bands
+    planes = _hyperplanes(dim, n_bits, seed)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            rp_bucket_expr(
+                F.col(vec_col), planes[b * r : (b + 1) * r]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = emb.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
+    b2 = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(b2, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -224,6 +224,57 @@ def k_disk_graph(
     return visited
 
 
+def hex7_k_disk(
+    seeds: DataFrame,
+    k: int,
+    cell_col: str = "cell_id",
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Graph-distance-k disk over the hex7 CROSS-FACE neighbor
+    relation (VERDICT r4 item 5 — the hex7 twin of
+    :func:`k_disk_graph`, closing the kernel k_ring's documented
+    face-local limitation, kernel/hex7.py): every cell reachable from
+    a seed in <= k forward neighbor steps, where a step is one of the
+    six lattice directions re-encoded through the global encoder
+    (kernel hex7.neighbors — exact lattice move on the same face,
+    adjacent-face lattice cell across an icosahedron edge).
+
+    The relation is DIRECTED near edges (adjacent faces' lattices are
+    not aligned), so the disk is defined by forward reachability —
+    deterministic and oracle-checkable (the contract twin BFSes a
+    recursive CTE over the exported edge list).
+
+    Plan: identical BFS shape to k_disk_graph — k rounds of
+    explode(neighbors) + left-anti against the visited set, lineage
+    checkpointed per round. Output: (seed, cell_id, dist), dist =
+    forward graph distance (0 for the seed itself)."""
+    from ..functions.hex7_udfs import hex7_neighbors
+
+    visited = seeds.select(
+        F.col(cell_col).alias("seed"),
+        F.col(cell_col).alias("cell_id"),
+        F.lit(0).alias("dist"),
+    ).distinct()
+    frontier = visited
+    for d in range(1, k + 1):
+        nbrs = frontier.select(
+            "seed",
+            F.explode(hex7_neighbors(F.col("cell_id"))).alias("cell_id"),
+        ).distinct()
+        fresh = nbrs.join(
+            visited.select("seed", "cell_id"), ["seed", "cell_id"], "left_anti"
+        ).withColumn("dist", F.lit(d))
+        visited = visited.unionByName(fresh)
+        if reliable_checkpoint:
+            visited = visited.checkpoint(eager=True)
+            fresh = fresh.checkpoint(eager=True)
+        else:
+            visited = visited.localCheckpoint(eager=True)
+            fresh = fresh.localCheckpoint(eager=True)
+        frontier = fresh
+    return visited
+
+
 # ---------------------------------------------------------------------------
 # kNN
 # ---------------------------------------------------------------------------

@@ -166,3 +166,42 @@ class TestSparkLayer:
         ).collect()
         assert rows[0].cell is None and rows[1].cell is None
         assert rows[2].cell is not None and rows[2].cell >= 0
+
+
+class TestHex7Neighbors:
+    def test_interior_neighbors_equal_lattice_ring(self):
+        """An interior cell's 6 cross-face neighbors must be exactly
+        the face-local ring-1 cells (the re-encode of an exact lattice
+        point is the identity)."""
+        c = H.encode(np.array([10.0]), np.array([20.0]), 3)
+        nb = set(H.neighbors(c)[0].tolist())
+        ring1 = set(H.k_ring(c, 1)[0].tolist()) - {int(c[0])}
+        assert nb == ring1 and len(nb) == 6
+
+    def test_edge_and_vertex_cells_cross_faces(self):
+        """Cells seeded at an icosahedron edge midpoint / vertex must
+        reach 2 / >=4 distinct faces — the adjacency the face-local
+        k_ring cannot express (kernel docstring limitation, closed by
+        VERDICT r4 item 5)."""
+        m = (H.VERTS[H.FACES[0][0]] + H.VERTS[H.FACES[0][1]]) / 2.0
+        m = m / np.linalg.norm(m)
+        pts = np.vstack([H.VERTS[0], m])
+        lat = np.degrees(np.arcsin(np.clip(pts[:, 2], -1, 1)))
+        lon = np.degrees(np.arctan2(pts[:, 1], pts[:, 0]))
+        cells = H.encode(lon, lat, 2)
+        nbs = H.neighbors(cells)
+        vert_faces = {(int(x) >> H._FACE_SHIFT) & 0x1F for x in nbs[0]}
+        edge_faces = {(int(x) >> H._FACE_SHIFT) & 0x1F for x in nbs[1]}
+        assert len(vert_faces) >= 4, vert_faces
+        assert len(edge_faces) == 2, edge_faces
+
+    def test_neighbors_deterministic_and_never_self(self):
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-180, 180, 200)
+        lat = rng.uniform(-89, 89, 200)
+        cells = H.encode(lon, lat, 4)
+        a = H.neighbors(cells)
+        b = H.neighbors(cells)
+        assert np.array_equal(a, b)
+        for i in range(cells.shape[0]):
+            assert int(cells[i]) not in set(a[i].tolist())

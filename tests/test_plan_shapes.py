@@ -378,3 +378,24 @@ class TestCurationPipeline:
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" not in plan, name
             assert "EvalPython" not in plan, name
+
+
+class TestNearDupLshPlan:
+    def test_no_nested_loop_anywhere(self, spark):
+        """VERDICT r4 item 1: embedding near-pair enumeration must be
+        the banded equi-join plan — no BroadcastNestedLoopJoin, no
+        CartesianProduct — unlike the all-pairs embedding_near_pairs
+        it replaces at scale."""
+        from rhealpixdggs_spark.operators.dedup import embedding_near_pairs_lsh
+
+        emb = spark.range(200).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.rand(seed=i) - 0.5) for i in range(8)]).alias(
+                "embedding"
+            ),
+        )
+        df = embedding_near_pairs_lsh(emb, dim=8, n_bits=8, bands=4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan  # pure column expressions

@@ -272,6 +272,49 @@ class TestDedupText:
         for i in range(3):
             assert any(a == i and b == i + 100000 for a, b in got)
 
+    def test_embedding_lsh_pairs_subset_of_brute_with_full_dup_recall(
+        self, spark, sf_dir
+    ):
+        """embedding_near_pairs_lsh returns a SUBSET of the all-pairs
+        result (same cos values on shared pairs) and NEVER misses an
+        exact-direction duplicate (identical sign bits -> every band
+        collides)."""
+        from rhealpixdggs_spark.operators.dedup import (
+            embedding_near_pairs,
+            embedding_near_pairs_lsh,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        planted = emb.where(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+        )
+        du = emb.unionByName(planted)
+        brute = {
+            (r.id_a, r.id_b): r.cos
+            for r in embedding_near_pairs(du, threshold=0.999).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b): r.cos
+            for r in embedding_near_pairs_lsh(
+                du, dim=64, threshold=0.999, n_bits=16, bands=4
+            ).collect()
+        }
+        assert set(lsh) <= set(brute)
+        for k, v in lsh.items():
+            assert brute[k] == v, k
+        n_planted = planted.count()
+        planted_pairs = {
+            (i, i + 100000) for i in range(0, n_planted * 7, 7)
+        } & set(brute)
+        assert planted_pairs  # fixture really plants scaled copies
+        assert planted_pairs <= set(lsh)  # exact dups never missed
+
     def test_minhash_lsh_finds_exact_dups(self, spark, sf_dir):
         docs = self._docs(spark, sf_dir).limit(60)
         dup = docs.unionByName(
