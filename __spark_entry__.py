@@ -1672,6 +1672,25 @@ def _q_polyfill_eq(spark, sf_dir):
     )
 
 
+def _q_polyfill_eq_df(spark, sf_dir):
+    """DataFrame-NATIVE polygon-fleet polyfill (round 5, VERDICT item
+    2): the same equatorial polygon-with-hole as polyfill_eq, but the
+    polygon arrives as a VERTEX TABLE (zone, part, ring, vtx, lon,
+    lat) and membership is the RELATIONAL even-odd — candidates
+    equi-join the edge table on zone, kernel-identical crossing
+    predicate, two-level parity aggregation — so a 10^6-polygon fleet
+    never touches the driver. Oracle: the identical independent
+    DuckDB re-derivation as polyfill_eq (candidate lattice + quad
+    centroid + even-odd SQL)."""
+    from rhealpixdggs_spark.operators.tiling import (
+        polyfill_many_df,
+        polygons_to_df,
+    )
+
+    pdf = polygons_to_df(spark, {"eq": [(EQ_POLY_EXT, [EQ_POLY_HOLE])]})
+    return polyfill_many_df(spark, pdf, res=3)
+
+
 def _q_region_cover(spark, sf_dir):
     """Distributed cells_from_region (dggs.py:1181-1331): matrix of
     res-3 cells covering an ellipsoidal quad that spans the cap
@@ -2513,10 +2532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "dedup_components": _q_dedup_components,
         "asof_bucketed_auto": _q_asof_bucketed_auto,
-        "pii_redaction": _q_pii_redaction,
+        "polyfill_eq_df": _q_polyfill_eq_df,
         "curation_pipeline": _q_curation_pipeline,
         "doc_chunks": _q_doc_chunks,
         "near_dedup_keep": _q_near_dedup_keep,
+        "pii_redaction": _q_pii_redaction,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
         "salted_cell_agg": _q_salted_cell_agg,
@@ -3945,6 +3965,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized": _ann_quantized_oracle_sql(),
         "near_dup_lsh": _near_dup_lsh_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
+        # polyfill_eq_df is the DataFrame-native fleet running the
+        # SAME geometry as polyfill_eq; its independent SQL
+        # re-derivation is identical by construction.
+        "polyfill_eq_df": _polyfill_eq_oracle_sql(),
         # All former rows-only queries graduated to independent
         # oracles: region_cover / zone_from_poly / linetrace_many /
         # polyfill / kring_sizes in round 3 (reference-EXECUTED VALUES

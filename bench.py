@@ -238,10 +238,40 @@ def run_headline(spark, sf_dir: str) -> dict:
             ], [])]
         return polyfill_many(spark, zones, 5)
 
+    def _polyfill_fleet_df(spark, sf_dir):
+        # Round 5: the DataFrame-NATIVE fleet at 100k polygons — 2000x
+        # polyfill_fleet's size — generated entirely with spark.range
+        # (three vertex rows per triangle, column math only), so the
+        # fleet NEVER exists on the driver: no span loop, no vertex
+        # closure. res 2 keeps the candidate table ~1.5M rows; the
+        # even-odd membership is the relational edge join.
+        from pyspark.sql import functions as F
+
+        from rhealpixdggs_spark.operators.tiling import polyfill_many_df
+
+        tri = spark.range(100_000).select(
+            F.concat(F.lit("z"), F.col("id")).alias("zone"),
+            F.lit(0).cast("int").alias("part"),
+            F.lit(0).cast("int").alias("ring"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("vtx"),
+            (F.col("id") % 50 * 6.0 - 160.0).alias("base"),
+            (F.col("id") % 7 * 1.0).alias("jit"),
+        ).select(
+            "zone", "part", "ring", "vtx",
+            (F.col("base") + F.when(F.col("vtx") == 1, 6.0).otherwise(
+                F.when(F.col("vtx") == 2, 3.0).otherwise(0.0)
+            )).alias("lon"),
+            (F.col("jit") + F.when(F.col("vtx") == 0, -20.0).otherwise(
+                F.when(F.col("vtx") == 1, -22.0).otherwise(10.0)
+            )).alias("lat"),
+        )
+        return polyfill_many_df(spark, tri, 2)
+
     qs = dict(entrymod.queries())
     qs["minhash_sig_xxhash64"] = _minhash_scale_path
     qs["polyfill_fleet"] = _polyfill_fleet
     qs["polyfill_fleet_mixed"] = _polyfill_fleet_mixed
+    qs["polyfill_fleet_df"] = _polyfill_fleet_df
     for name in [
         "encode_points_res9",
         "parent_rollup",
@@ -255,6 +285,7 @@ def run_headline(spark, sf_dir: str) -> dict:
         "raster_to_vector",
         "polyfill_fleet",
         "polyfill_fleet_mixed",
+        "polyfill_fleet_df",
         "curation_pipeline",
     ]:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

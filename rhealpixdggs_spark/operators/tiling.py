@@ -785,6 +785,134 @@ def zone_tiles_many(
     )
 
 
+def _interleave_idx(cfg: DggsConfig, res: int, face, i_col, j_col):
+    """Level-order index of the res-`res` cell at (row i, col j) of
+    planar face `face` — the digit-interleave closed form shared by
+    the band and cap candidate generators (same construction as
+    region_cover_ell_df's path; cell.py:93-119 index semantics)."""
+    base = cfg.num_cells(0, res - 1)
+    idx = F.lit(base) + face * F.lit((cfg.N_side**2) ** res)
+    spread_i, spread_j = F.lit(0).cast("long"), F.lit(0).cast("long")
+    for k in range(res):
+        p3, p9 = cfg.N_side**k, (cfg.N_side**2) ** k
+        spread_i = spread_i + (F.floor(i_col / F.lit(p3)) % 3) * F.lit(p9)
+        spread_j = spread_j + (F.floor(j_col / F.lit(p3)) % 3) * F.lit(p9)
+    return idx + F.lit(3) * spread_i + spread_j
+
+
+def _cap_candidate_cells(
+    capdf: DataFrame,
+    bboxes: DataFrame,
+    cfg: DggsConfig,
+    res: int,
+) -> DataFrame:
+    """Polar-cap candidate cells (zone, face, fi, fj) from square
+    annuli: `capdf` rows are (zone, face, a, b) — the annulus
+    [a, b] in cell units around the polar face center (see
+    polyfill_many's closed form) — and `bboxes` carries the
+    per-zone (lam_mid, lam_half) longitude bbox driving the
+    nucleus-longitude prune that keeps the Gauss-Legendre centroid
+    pass off the ~360/wedge-width over-generation of a lon-narrow
+    cap polygon. Shared by the dict- and DataFrame-native polyfill
+    fleets; all span math is column expressions."""
+    w = cfg.cell_width(res)
+    n3 = cfg.N_side**res
+    half = F.lit(n3 / 2.0)
+    i_lo = F.greatest(F.lit(0), F.floor(half - F.col("b")).cast("long") - 1)
+    i_hi = F.least(
+        F.lit(n3 - 1), F.ceil(half + F.col("b")).cast("long")
+    )
+    gi = capdf.select(
+        "zone", "face", "a", "b",
+        F.explode(F.sequence(i_lo, i_hi)).alias("fi"),
+    )
+    # Box infinity-distance interval of face row fi from the face
+    # center, in cell units: rows whose NEAREST edge is outside B
+    # drop; rows whose FARTHEST edge reaches past A keep one full
+    # span, interior rows keep the two annulus flanks.
+    dlo_i = F.greatest(
+        half - (F.col("fi") + 1), F.col("fi") - half, F.lit(0.0)
+    )
+    dhi_i = F.greatest(
+        F.abs(F.col("fi") - half), F.abs(F.col("fi") + 1 - half)
+    )
+    jl = F.greatest(F.lit(0), F.floor(half - F.col("b")).cast("long") - 1)
+    jr = F.least(F.lit(n3 - 1), F.ceil(half + F.col("b")).cast("long"))
+    j_in_l = F.floor(half - F.col("a")).cast("long")
+    j_in_r = F.ceil(half + F.col("a")).cast("long") - 1
+    spans = (
+        gi.where(dlo_i <= F.col("b"))
+        .select(
+            "zone", "face", "fi",
+            F.explode(
+                F.when(
+                    dhi_i >= F.col("a"),
+                    F.array(F.struct(jl.alias("j0"), jr.alias("j1"))),
+                ).otherwise(
+                    F.array(
+                        F.struct(
+                            jl.alias("j0"),
+                            F.least(j_in_l, jr).alias("j1"),
+                        ),
+                        F.struct(
+                            F.greatest(j_in_r, jl).alias("j0"),
+                            jr.alias("j1"),
+                        ),
+                    )
+                )
+            ).alias("s"),
+        )
+        .select("zone", "face", "fi", F.col("s.j0"), F.col("s.j1"))
+        .where(F.col("j0") <= F.col("j1"))
+    )
+    gj = spans.select(
+        "zone", "face", "fi", F.explode(F.sequence("j0", "j1")).alias("fj")
+    )
+    # Nucleus-longitude prune BEFORE the expensive Gauss-Legendre
+    # centroid pass: a full annulus over-generates ~360/wedge-width
+    # for a lon-narrow cap polygon, and each dart/skew centroid
+    # costs a 900-point inverse-projection integral. The nucleus
+    # is a single inverse projection per cell (straight from the
+    # planar center, no suid), and |centroid lon - nucleus lon| is
+    # bounded by the cell's lon span <= 45deg/dlo (a ring side of
+    # 2*dlo cells maps to 90deg) — the pad HALF/max(dlo, 0.5) is 4x
+    # that, so every centroid-inside cell survives the prune.
+    # HALF is the cfg-unit half-turn (pi for radians configs): the
+    # circular wrap and pad below MUST be in the same units as
+    # lam_mid/lam_half (raw polygon lons) and rhealpix_inverse.
+    HALF = np.pi if cfg.radians else 180.0
+    dlo_j = F.greatest(
+        half - (F.col("fj") + 1), F.col("fj") - half, F.lit(0.0)
+    )
+    dlo_cell = F.greatest(dlo_i, dlo_j)
+    pad = F.lit(HALF) / F.greatest(dlo_cell, F.lit(0.5))
+
+    @pandas_udf(T.DoubleType())
+    def _cap_nuc_lon(face_s: pd.Series, fi_s: pd.Series,
+                     fj_s: pd.Series) -> pd.Series:
+        from ..kernel.rhealpix import rhealpix_inverse
+
+        f = face_s.to_numpy(dtype=np.int64)
+        i_a = fi_s.to_numpy(dtype=np.int64)
+        j_a = fj_s.to_numpy(dtype=np.int64)
+        ulx = np.array([cfg.ul_vertex_face(k)[0] for k in range(6)])
+        uly = np.array([cfg.ul_vertex_face(k)[1] for k in range(6)])
+        x = ulx[f] + (j_a + 0.5) * w
+        y = uly[f] - (i_a + 0.5) * w
+        lo, _ = rhealpix_inverse(cfg, x, y)
+        return pd.Series(lo, index=face_s.index)
+
+    circ = F.abs(
+        ((_cap_nuc_lon.asNondeterministic()(
+            F.col("face"), F.col("fi"), F.col("fj")
+        ) - F.col("lam_mid") + F.lit(3 * HALF)) % F.lit(2 * HALF))
+        - F.lit(HALF)
+    )
+    return gj.join(bboxes, "zone").where(
+        circ <= F.col("lam_half") + pad
+    ).select("zone", "face", "fi", "fj")
+
+
 def polyfill_many(
     spark: SparkSession,
     polygons: dict[str, list],
@@ -910,14 +1038,7 @@ def polyfill_many(
     # interleave as region_cover_ell_df's closed-form path
     face = F.lit(1) + F.floor(F.col("gc") / F.lit(n3)).cast("long")
     cif = F.col("gc") % F.lit(n3)
-    base = cfg.num_cells(0, res - 1)
-    idx = F.lit(base) + face * F.lit((cfg.N_side**2) ** res)
-    spread_r, spread_c = F.lit(0).cast("long"), F.lit(0).cast("long")
-    for i in range(res):
-        p3, p9 = cfg.N_side**i, (cfg.N_side**2) ** i
-        spread_r = spread_r + (F.floor(F.col("rib") / F.lit(p3)) % 3) * F.lit(p9)
-        spread_c = spread_c + (F.floor(cif / F.lit(p3)) % 3) * F.lit(p9)
-    idx = idx + F.lit(3) * spread_r + spread_c
+    idx = _interleave_idx(cfg, res, face, F.col("rib"), cif)
 
     @pandas_udf(T.StringType())
     def idx_to_suid(ix: pd.Series) -> pd.Series:
@@ -938,91 +1059,6 @@ def polyfill_many(
         )
         if partitions:
             capdf = capdf.repartition(partitions)
-        half = F.lit(n3 / 2.0)
-        i_lo = F.greatest(F.lit(0), F.floor(half - F.col("b")).cast("long") - 1)
-        i_hi = F.least(
-            F.lit(n3 - 1), F.ceil(half + F.col("b")).cast("long")
-        )
-        gi = capdf.select(
-            "zone", "face", "a", "b",
-            F.explode(F.sequence(i_lo, i_hi)).alias("fi"),
-        )
-        # Box infinity-distance interval of face row fi from the face
-        # center, in cell units: rows whose NEAREST edge is outside B
-        # drop; rows whose FARTHEST edge reaches past A keep one full
-        # span, interior rows keep the two annulus flanks.
-        dlo_i = F.greatest(
-            half - (F.col("fi") + 1), F.col("fi") - half, F.lit(0.0)
-        )
-        dhi_i = F.greatest(
-            F.abs(F.col("fi") - half), F.abs(F.col("fi") + 1 - half)
-        )
-        jl = F.greatest(F.lit(0), F.floor(half - F.col("b")).cast("long") - 1)
-        jr = F.least(F.lit(n3 - 1), F.ceil(half + F.col("b")).cast("long"))
-        j_in_l = F.floor(half - F.col("a")).cast("long")
-        j_in_r = F.ceil(half + F.col("a")).cast("long") - 1
-        spans = (
-            gi.where(dlo_i <= F.col("b"))
-            .select(
-                "zone", "face", "fi",
-                F.explode(
-                    F.when(
-                        dhi_i >= F.col("a"),
-                        F.array(F.struct(jl.alias("j0"), jr.alias("j1"))),
-                    ).otherwise(
-                        F.array(
-                            F.struct(
-                                jl.alias("j0"),
-                                F.least(j_in_l, jr).alias("j1"),
-                            ),
-                            F.struct(
-                                F.greatest(j_in_r, jl).alias("j0"),
-                                jr.alias("j1"),
-                            ),
-                        )
-                    )
-                ).alias("s"),
-            )
-            .select("zone", "face", "fi", F.col("s.j0"), F.col("s.j1"))
-            .where(F.col("j0") <= F.col("j1"))
-        )
-        gj = spans.select(
-            "zone", "face", "fi", F.explode(F.sequence("j0", "j1")).alias("fj")
-        )
-        # Nucleus-longitude prune BEFORE the expensive Gauss-Legendre
-        # centroid pass: a full annulus over-generates ~360/wedge-width
-        # for a lon-narrow cap polygon, and each dart/skew centroid
-        # costs a 900-point inverse-projection integral. The nucleus
-        # is a single inverse projection per cell (straight from the
-        # planar center, no suid), and |centroid lon - nucleus lon| is
-        # bounded by the cell's lon span <= 45deg/dlo (a ring side of
-        # 2*dlo cells maps to 90deg) — the pad HALF/max(dlo, 0.5) is 4x
-        # that, so every centroid-inside cell survives the prune.
-        # HALF is the cfg-unit half-turn (pi for radians configs): the
-        # circular wrap and pad below MUST be in the same units as
-        # lam_mid/lam_half (raw polygon lons) and rhealpix_inverse.
-        HALF = np.pi if cfg.radians else 180.0
-        dlo_j = F.greatest(
-            half - (F.col("fj") + 1), F.col("fj") - half, F.lit(0.0)
-        )
-        dlo_cell = F.greatest(dlo_i, dlo_j)
-        pad = F.lit(HALF) / F.greatest(dlo_cell, F.lit(0.5))
-
-        @pandas_udf(T.DoubleType())
-        def _cap_nuc_lon(face_s: pd.Series, fi_s: pd.Series,
-                         fj_s: pd.Series) -> pd.Series:
-            from ..kernel.rhealpix import rhealpix_inverse
-
-            f = face_s.to_numpy(dtype=np.int64)
-            i_a = fi_s.to_numpy(dtype=np.int64)
-            j_a = fj_s.to_numpy(dtype=np.int64)
-            ulx = np.array([cfg.ul_vertex_face(k)[0] for k in range(6)])
-            uly = np.array([cfg.ul_vertex_face(k)[1] for k in range(6)])
-            x = ulx[f] + (j_a + 0.5) * w
-            y = uly[f] - (i_a + 0.5) * w
-            lo, _ = rhealpix_inverse(cfg, x, y)
-            return pd.Series(lo, index=face_s.index)
-
         bbox_rows = [
             (z, (lam0 + lam1) / 2.0, (lam1 - lam0) / 2.0)
             for z, (lam0, lam1) in lon_bbox.items()
@@ -1032,22 +1068,10 @@ def polyfill_many(
                 bbox_rows, "zone string, lam_mid double, lam_half double"
             )
         )
-        circ = F.abs(
-            ((_cap_nuc_lon.asNondeterministic()(
-                F.col("face"), F.col("fi"), F.col("fj")
-            ) - F.col("lam_mid") + F.lit(3 * HALF)) % F.lit(2 * HALF))
-            - F.lit(HALF)
+        gj = _cap_candidate_cells(capdf, bboxes, cfg, res)
+        idxc = _interleave_idx(
+            cfg, res, F.col("face"), F.col("fi"), F.col("fj")
         )
-        gj = gj.join(bboxes, "zone").where(
-            circ <= F.col("lam_half") + pad
-        )
-        idxc = F.lit(base) + F.col("face") * F.lit((cfg.N_side**2) ** res)
-        spread_i, spread_j = F.lit(0).cast("long"), F.lit(0).cast("long")
-        for i2 in range(res):
-            p3, p9 = cfg.N_side**i2, (cfg.N_side**2) ** i2
-            spread_i = spread_i + (F.floor(F.col("fi") / F.lit(p3)) % 3) * F.lit(p9)
-            spread_j = spread_j + (F.floor(F.col("fj") / F.lit(p3)) % 3) * F.lit(p9)
-        idxc = idxc + F.lit(3) * spread_i + spread_j
         keyed = keyed.unionByName(gj.select("zone", idxc.alias("_idx")))
     cand = (
         keyed
@@ -1076,6 +1100,320 @@ def polyfill_many(
                 F.col("zone"), F.col("_c")["lon"], F.col("_c")["lat"]
             )
         )
+        .select(
+            "tile_id",
+            (F.length("tile_id") - 1).cast("int").alias("res"),
+            "zone",
+        )
+    )
+
+
+POLYGON_TABLE_SCHEMA = (
+    "zone string, part int, ring int, vtx int, lon double, lat double"
+)
+
+
+def polygons_to_df(spark: SparkSession, polygons: dict[str, list]) -> DataFrame:
+    """Flatten a polyfill_many polygon dict into the vertex-table
+    shape polyfill_many_df consumes: one row per vertex, ring 0 the
+    exterior, rings >= 1 the holes, vertices ordered by vtx. A test
+    and migration helper — production fleets should build the vertex
+    table distributedly (parquet scan, spark.range generator, ...)."""
+    rows = []
+    for zone, polys in polygons.items():
+        for pi, (ext, holes) in enumerate(polys):
+            for ri, ring in enumerate([ext, *holes]):
+                for vi, (x, y) in enumerate(ring):
+                    rows.append((zone, pi, ri, vi, float(x), float(y)))
+    return spark.createDataFrame(rows, POLYGON_TABLE_SCHEMA)
+
+
+def polyfill_many_df(
+    spark: SparkSession,
+    polygons: DataFrame,
+    res: int,
+    cfg: DggsConfig = WGS84_003,
+    partitions: int | None = None,
+    split_dateline: bool | None = None,
+) -> DataFrame:
+    """DataFrame-NATIVE polygon-fleet polyfill: same semantics as
+    polyfill_many (centroid-in-polygon membership, rhp_wrappers.py:
+    510-599; band spans + closed-form cap annuli + nucleus-lon prune)
+    but the polygons arrive as a VERTEX TABLE
+    (zone, part, ring, vtx, lon, lat) — ring 0 the exterior, rings
+    >= 1 holes — so NOTHING about the fleet ever lives on the driver:
+    no span loop, no vertex-list closure pickled into tasks. A
+    10^6-polygon continental parcel fleet is just a bigger input
+    table; driver memory stays flat.
+
+    Plan shape (all equi-joins and aggregations, no nested-loop):
+      1. dateline resolve: vertices collect_list into one array per
+         (zone, part) — a JVM partial-aggregation shuffle — and ONE
+         Arrow-batched pandas_udf applies the exact kernel
+         split_antimeridian per polygon (plain Python loops over the
+         batch, microseconds per small ring; split parts get ids
+         part*64 + i), exploding back to vertex rows. No per-group
+         pandas overhead: a 100k-polygon fleet resolves in one pass.
+      2. per-part exterior bbox stats are a plain JVM aggregation;
+         the HEALPix y of the lat extremes is one tiny Arrow pass
+         over the per-part rows; band row/column spans and cap annuli
+         are then pure column math, sequence-exploded exactly like
+         polyfill_many (shared _interleave_idx / _cap_candidate_cells
+         helpers).
+      3. membership replaces the driver-closure even-odd UDF with a
+         RELATIONAL even-odd: candidates equi-join the edge table on
+         zone, each edge contributes the kernel's crossing predicate
+         ((y1 > cy) != (y2 > cy)) AND cx < (x2-x1)*(cy-y1)/(y2-y1)+x1
+         (kernel/regions.py:336-362, bit-identical arithmetic), and a
+         two-level parity aggregation applies ext-odd AND NOT
+         hole-odd per part. Everything stays JVM-side whole-stage
+         codegen; the only Python is the geometry decode kernels.
+
+    split_dateline=None auto-splits crossing rings; True forces the
+    split; False raises (inside the distributed resolve stage) if any
+    ring crosses. Output: (tile_id, res, zone), distinct."""
+    from pyspark.sql.window import Window
+
+    from ..functions.udfs import rhp_centroid
+    from ..kernel.regions import healpix_forward_cfg
+
+    R = cfg.R_A
+    w = cfg.cell_width(res)
+    n3 = cfg.N_side**res
+    band = R * np.pi / 4
+    y_pole = R * np.pi / 2
+
+    if partitions:
+        polygons = polygons.repartition(partitions, "zone", "part")
+
+    grouped = polygons.groupBy("zone", "part").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ring", "vtx", "lon", "lat"))
+        ).alias("verts")
+    )
+
+    out_t = T.ArrayType(T.StructType([
+        T.StructField("part_off", T.IntegerType()),
+        T.StructField("ring", T.IntegerType()),
+        T.StructField("vtx", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ]))
+
+    @pandas_udf(out_t)
+    def _split(verts_s: pd.Series) -> pd.Series:
+        out_all = []
+        for verts in verts_s:
+            rings: list[list] = []
+            cur_ring = None
+            for v in verts:  # sorted by (ring, vtx) via sort_array
+                if v["ring"] != cur_ring:
+                    rings.append([])
+                    cur_ring = v["ring"]
+                rings[-1].append((float(v["lon"]), float(v["lat"])))
+            polys = _resolve_split_dateline(
+                [(rings[0], rings[1:])], split_dateline, cfg,
+                "polyfill_many_df",
+            )
+            rows = []
+            for j, (ext, holes) in enumerate(polys):
+                for ri, ring in enumerate([ext, *holes]):
+                    for vi, (x, y) in enumerate(ring):
+                        rows.append({
+                            "part_off": j, "ring": ri, "vtx": vi,
+                            "lon": float(x), "lat": float(y),
+                        })
+            out_all.append(rows)
+        return pd.Series(out_all, index=verts_s.index)
+
+    resolved = (
+        grouped.select(
+            "zone", "part",
+            F.explode(_split.asNondeterministic()(F.col("verts"))).alias("v"),
+        )
+        .select(
+            "zone",
+            (F.col("part").cast("long") * 64 + F.col("v.part_off"))
+            .alias("part"),
+            F.col("v.ring").alias("ring"), F.col("v.vtx").alias("vtx"),
+            F.col("v.lon").alias("lon"), F.col("v.lat").alias("lat"),
+        )
+    )
+
+    # Per-part exterior bbox: plain JVM aggregation; the forward
+    # HEALPix y of the lat extremes is a tiny Arrow pass over the
+    # per-part rows (one row per polygon part, distributed).
+    @pandas_udf(T.DoubleType())
+    def _fwd_y(lat_s: pd.Series) -> pd.Series:
+        _, y = healpix_forward_cfg(
+            cfg, np.zeros(len(lat_s)), lat_s.to_numpy(np.float64)
+        )
+        return pd.Series(y, index=lat_s.index)
+
+    heads = (
+        resolved.where(F.col("ring") == 0)
+        .groupBy("zone", "part")
+        .agg(
+            F.min("lon").alias("lon_lo"), F.max("lon").alias("lon_hi"),
+            F.min("lat").alias("lat_lo"), F.max("lat").alias("lat_hi"),
+        )
+        .select(
+            "zone", "part", "lon_lo", "lon_hi",
+            _fwd_y(F.col("lat_lo")).alias("y_lo"),
+            _fwd_y(F.col("lat_hi")).alias("y_hi"),
+        )
+    )
+
+    # Band row/column spans: the same +/-1-padded closed forms as
+    # polyfill_many's driver loop, as column expressions.
+    lam_lo = F.col("lon_lo") if cfg.radians else F.radians("lon_lo")
+    lam_hi = F.col("lon_hi") if cfg.radians else F.radians("lon_hi")
+    row0 = F.greatest(
+        F.lit(0),
+        F.floor((F.lit(band) - F.col("y_hi")) / F.lit(w)).cast("long") - 1,
+    )
+    row1 = F.least(
+        F.lit(n3 - 1),
+        F.floor((F.lit(band) - F.col("y_lo")) / F.lit(w)).cast("long") + 1,
+    )
+    gc0 = F.greatest(
+        F.lit(0),
+        F.floor((F.lit(R) * lam_lo + F.lit(R * np.pi)) / F.lit(w))
+        .cast("long") - 1,
+    )
+    gc1 = F.least(
+        F.lit(4 * n3 - 1),
+        F.floor((F.lit(R) * lam_hi + F.lit(R * np.pi)) / F.lit(w))
+        .cast("long") + 1,
+    )
+    spans = heads.select(
+        "zone", row0.alias("row0"), row1.alias("row1"),
+        gc0.alias("gc0"), gc1.alias("gc1"),
+        "y_lo", "y_hi",
+    )
+    g = (
+        spans.where(F.col("row0") <= F.col("row1"))
+        .select(
+            "zone",
+            F.explode(F.sequence("row0", "row1")).alias("rib"),
+            "gc0", "gc1",
+        )
+        .select(
+            "zone", "rib", F.explode(F.sequence("gc0", "gc1")).alias("gc")
+        )
+    )
+    face = F.lit(1) + F.floor(F.col("gc") / F.lit(n3)).cast("long")
+    cif = F.col("gc") % F.lit(n3)
+    keyed = g.select(
+        "zone",
+        _interleave_idx(cfg, res, face, F.col("rib"), cif).alias("_idx"),
+    )
+
+    # Cap annuli [a, b] in cell units (polyfill_many's closed form)
+    # as a conditional struct-array explode: 0-2 cap rows per part.
+    ycol_lo, ycol_hi = F.col("y_lo"), F.col("y_hi")
+    north = F.when(
+        ycol_hi >= F.lit(band),
+        F.array(F.struct(
+            F.lit(0).cast("long").alias("face"),
+            F.greatest(
+                F.lit(0.0),
+                (F.lit(y_pole) - F.least(ycol_hi, F.lit(y_pole)))
+                / F.lit(w) - 1,
+            ).alias("a"),
+            F.least(
+                F.lit(n3 / 2.0),
+                (F.lit(y_pole) - F.greatest(ycol_lo, F.lit(band)))
+                / F.lit(w) + 1,
+            ).alias("b"),
+        )),
+    ).otherwise(F.array().cast("array<struct<face:long,a:double,b:double>>"))
+    s_in = F.least(ycol_hi, F.lit(-band)) + F.lit(y_pole)
+    s_out = F.greatest(ycol_lo, F.lit(-y_pole)) + F.lit(y_pole)
+    south = F.when(
+        ycol_lo <= F.lit(-band),
+        F.array(F.struct(
+            F.lit(5).cast("long").alias("face"),
+            F.greatest(
+                F.lit(0.0), F.least(s_in, s_out) / F.lit(w) - 1
+            ).alias("a"),
+            F.least(
+                F.lit(n3 / 2.0), F.greatest(s_in, s_out) / F.lit(w) + 1
+            ).alias("b"),
+        )),
+    ).otherwise(F.array().cast("array<struct<face:long,a:double,b:double>>"))
+    capdf = (
+        spans.select("zone", F.explode(F.concat(north, south)).alias("c"))
+        .select("zone", "c.face", "c.a", "c.b")
+    )
+    bboxes = heads.groupBy("zone").agg(
+        ((F.min("lon_lo") + F.max("lon_hi")) / 2.0).alias("lam_mid"),
+        ((F.max("lon_hi") - F.min("lon_lo")) / 2.0).alias("lam_half"),
+    )
+    gj = _cap_candidate_cells(capdf, bboxes, cfg, res)
+    keyed = keyed.unionByName(
+        gj.select(
+            "zone",
+            _interleave_idx(
+                cfg, res, F.col("face"), F.col("fi"), F.col("fj")
+            ).alias("_idx"),
+        )
+    )
+
+    @pandas_udf(T.StringType())
+    def idx_to_suid(ix: pd.Series) -> pd.Series:
+        face_a, digits = KC.suid_from_level_order_index(
+            cfg, ix.to_numpy(dtype=np.int64), res
+        )
+        return pd.Series(KC.suid_strings(face_a, digits), index=ix.index)
+
+    cand = (
+        keyed.distinct()
+        .select("zone", idx_to_suid(F.col("_idx")).alias("tile_id"))
+        .withColumn("_c", rhp_centroid(F.col("tile_id"), cfg, plane=False))
+        .select(
+            "zone", "tile_id",
+            F.col("_c")["lon"].alias("cx"), F.col("_c")["lat"].alias("cy"),
+        )
+    )
+
+    # Relational even-odd: edge table via lead() + wrap-around edge
+    # (a duplicated closing vertex only adds degenerate y1==y2 edges,
+    # which the crossing predicate ignores — kernel parity).
+    w_ring = Window.partitionBy("zone", "part", "ring").orderBy("vtx")
+    w_all = w_ring.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    edges = resolved.select(
+        "zone", "part", "ring",
+        F.col("lon").alias("x1"), F.col("lat").alias("y1"),
+        F.coalesce(
+            F.lead("lon").over(w_ring), F.first("lon").over(w_all)
+        ).alias("x2"),
+        F.coalesce(
+            F.lead("lat").over(w_ring), F.first("lat").over(w_all)
+        ).alias("y2"),
+    )
+    j = cand.join(edges, "zone")
+    crosses = (F.col("y1") > F.col("cy")) != (F.col("y2") > F.col("cy"))
+    xin = (
+        (F.col("x2") - F.col("x1")) * (F.col("cy") - F.col("y1"))
+        / (F.col("y2") - F.col("y1")) + F.col("x1")
+    )
+    hit = crosses & (F.col("cx") < xin)
+    per_ring = j.groupBy("zone", "tile_id", "part", "ring").agg(
+        ((F.sum(hit.cast("long")) % 2) == 1).alias("odd")
+    )
+    per_part = per_ring.groupBy("zone", "tile_id", "part").agg(
+        F.max(F.when(F.col("ring") == 0, F.col("odd"))).alias("in_ext"),
+        F.coalesce(
+            F.max(F.when(F.col("ring") > 0, F.col("odd"))), F.lit(False)
+        ).alias("in_hole"),
+    )
+    return (
+        per_part.where(F.col("in_ext") & ~F.col("in_hole"))
+        .select("zone", "tile_id")
+        .distinct()
         .select(
             "tile_id",
             (F.length("tile_id") - 1).cast("int").alias("res"),

@@ -108,6 +108,70 @@ class TestPartitionPruning:
         assert n_sel == files_in_target
         assert df.count() > 0
 
+    def test_tile_partitioned_layout_dynamic_pruning(self, spark, tmp_path):
+        """SURVEY section 4.2's runtime claim (VERDICT r4 item 7): when
+        the tile join's SMALL side is filtered at runtime — the tile set
+        is not known until the dimension scan runs — Spark's dynamic
+        partition pruning must inject the broadcast result into the
+        pages scan's PartitionFilters, so the 100-TB fact table reads
+        only the surviving tile directories."""
+        import os
+
+        from rhealpixdggs_spark.pipeline import encode_pages
+        from rhealpixdggs_spark.sources.pages import (
+            synthesize_pages,
+            write_pages_by_tile,
+        )
+
+        pages = synthesize_pages(spark, 5000, partitions=4)
+        enc = encode_pages(pages, resolution=9)
+        fact_path = str(tmp_path / "pages_by_tile")
+        write_pages_by_tile(enc, fact_path, tile_res=1)
+
+        # dim: one row per tile with an attribute only known at runtime
+        # (written to parquet so the filter cannot constant-fold)
+        tiles = (
+            spark.read.parquet(fact_path)
+            .select("tile_prefix")
+            .distinct()
+            .withColumn(
+                "quality",
+                F.when(
+                    F.crc32(F.col("tile_prefix")) % 7 == 0, "hot"
+                ).otherwise("cold"),
+            )
+        )
+        dim_path = str(tmp_path / "tile_dim")
+        tiles.write.mode("overwrite").parquet(dim_path)
+
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).where(F.col("quality") == "hot")
+        joined = (
+            fact.join(F.broadcast(dim), "tile_prefix")
+            .groupBy("tile_prefix")
+            .count()
+        )
+        plan = _plan(joined)
+        assert "dynamicpruningexpression(tile_prefix" in plan.lower()
+        # and the pruning is real: the scan reads only the hot tiles'
+        # directories, a strict subset of the layout
+        hot = {r.tile_prefix for r in dim.select("tile_prefix").collect()}
+        all_dirs = {
+            d.split("=", 1)[1]
+            for d in os.listdir(fact_path)
+            if d.startswith("tile_prefix=")
+        }
+        assert 0 < len(hot) < len(all_dirs)
+        read_dirs = {
+            os.path.basename(os.path.dirname(r[0])).split("=", 1)[1]
+            for r in fact.withColumn("_f", F.input_file_name())
+            .join(F.broadcast(dim), "tile_prefix")
+            .select("_f")
+            .distinct()
+            .collect()
+        }
+        assert read_dirs == hot
+
 
 class TestSqlApi:
     def test_registered_functions_match_column_api(self, spark):
@@ -399,3 +463,39 @@ class TestNearDupLshPlan:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan  # pure column expressions
+
+
+class TestPolyfillManyDFPlan:
+    def test_no_nested_loop_no_driver_fleet(self, spark):
+        """polyfill_many_df (VERDICT r4 item 2): every join in the
+        DataFrame-native fleet plan is an equi-join — the relational
+        even-odd filter joins candidates to the edge table on zone —
+        and the polygon table never materializes on the driver (no
+        LocalTableScan of the fleet: the input here is a spark.range
+        generator, as a production fleet would be a parquet scan)."""
+        from pyspark.sql import functions as F
+
+        from rhealpixdggs_spark.operators.tiling import polyfill_many_df
+
+        # 200 triangles generated distributedly: 3 vertex rows each
+        tri = spark.range(200).select(
+            F.concat(F.lit("z"), F.col("id")).alias("zone"),
+            F.lit(0).cast("int").alias("part"),
+            F.lit(0).cast("int").alias("ring"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("vtx"),
+            (F.col("id") % 50 * 6.0 - 160.0).alias("base"),
+        ).select(
+            "zone", "part", "ring", "vtx",
+            (F.col("base") + F.when(F.col("vtx") == 1, 6.0).otherwise(
+                F.when(F.col("vtx") == 2, 3.0).otherwise(0.0)
+            )).alias("lon"),
+            F.when(F.col("vtx") == 0, -20.0).otherwise(
+                F.when(F.col("vtx") == 1, -22.0).otherwise(10.0)
+            ).alias("lat"),
+        )
+        out = polyfill_many_df(spark, tri, 3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "LocalTableScan" not in plan
+        assert out.limit(1).count() >= 0
