@@ -485,7 +485,13 @@ def polyfill_df(
                 cover = region_cover_df(spark, res, nw, se, cfg)
             else:
                 cover = region_cover_ell_df(spark, res, nw, se, cfg)
-            cells = cover.select("cell_id").distinct()
+            # explicit round-robin fan-out: the distinct() output is
+            # small in BYTES, so AQE would coalesce it onto one task —
+            # but the centroid decode downstream is Python COMPUTE (GL
+            # integrals for dart/skew cells); see polyfill_many's note
+            cells = cover.select("cell_id").distinct().repartition(
+                spark.sparkContext.defaultParallelism
+            )
             # centroid struct fields are (lon, lat); in plane mode they
             # carry (x, y) — either way the polygon is in the same frame.
             c = rhp_centroid(F.col("cell_id"), cfg, plane=plane)
@@ -1073,9 +1079,23 @@ def polyfill_many(
             cfg, res, F.col("face"), F.col("fi"), F.col("fj")
         )
         keyed = keyed.unionByName(gj.select("zone", idxc.alias("_idx")))
+    # Explicit fan-out before the Gauss-Legendre centroid pass: the
+    # distinct() output is only a few MB, so AQE's BYTE-based
+    # coalescing folds it into one task — but the downstream cost is
+    # ~1.75 ms/row of Python COMPUTE (dart/skew GL integrals), which
+    # serialized on one core both slows the job ~cores-x and makes
+    # wall time hostage to single-task noise (the r4 bench's 6.4 s
+    # IQR; BENCH/fleet_mixed_attribution.json). Round-robin with an
+    # explicit count: hash-repartitioning on (zone, _idx) would be
+    # ELIMINATED as redundant with the distinct's own Exchange (same
+    # keys) and the surviving ENSURE_REQUIREMENTS shuffle is exactly
+    # what AQE coalesces; the extra Exchange moves (zone, long) rows
+    # only.
+    fanout = keyed.sparkSession.sparkContext.defaultParallelism
     cand = (
         keyed
         .distinct()
+        .repartition(fanout)
         .select("zone", idx_to_suid(F.col("_idx")).alias("tile_id"))
     )
     c = rhp_centroid(F.col("tile_id"), cfg, plane=False)
@@ -1367,8 +1387,13 @@ def polyfill_many_df(
         )
         return pd.Series(KC.suid_strings(face_a, digits), index=ix.index)
 
+    # same explicit round-robin fan-out as polyfill_many: keep AQE
+    # from serializing the compute-heavy GL centroid pass onto one
+    # task (hash keys would dedupe against the distinct's Exchange)
+    fanout = keyed.sparkSession.sparkContext.defaultParallelism
     cand = (
         keyed.distinct()
+        .repartition(fanout)
         .select("zone", idx_to_suid(F.col("_idx")).alias("tile_id"))
         .withColumn("_c", rhp_centroid(F.col("tile_id"), cfg, plane=False))
         .select(
