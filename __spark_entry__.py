@@ -1068,6 +1068,24 @@ def _q_polygon_join(spark, sf_dir):
     return out.select("pid", "lon", "lat", "zone")
 
 
+def _q_polygon_join_df(spark, sf_dir):
+    """DataFrame-NATIVE point-in-polygon join: the fleet arrives as a
+    vertex TABLE (zone, part, ring, vtx, lon, lat), candidates are the
+    packed-int64 bbox cover (shared fleet_candidate_idx), the refine
+    is the relational even-odd — nothing about the fleet on the driver
+    (operators/joins.polygon_join_df, r5). Oracle: the same
+    independent half-plane algebra as polygon_join."""
+    from rhealpixdggs_spark.operators.joins import polygon_join_df
+    from rhealpixdggs_spark.operators.tiling import polygons_to_df
+
+    pts = _points(spark, sf_dir)
+    fleet = polygons_to_df(
+        spark, {"z1": [(PIP_OUTER, [PIP_HOLE])], "z2": [(PIP_ZONE2, [])]}
+    )
+    out = polygon_join_df(pts, fleet, res=3)
+    return out.select("pid", "lon", "lat", "zone")
+
+
 def _q_raster_to_vector(spark, sf_dir):
     """Raster -> vector tile assignment (north_star): global 0.5-degree
     pixel grid -> res-3 zonal statistics, generated distributed from
@@ -2479,8 +2497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Per-round rotation history lives in FIXTURES.md section 5. The 51+
     tail (all previously driver-green) stays value-checked every run
     by tests/test_entry_contract.py and tools/zero_tolerance_audit.py.
-    Round 4: IN s2/hex7/image_decode/image_resize oracles + zone_xor +
-    polyfill_cap + asof_bucketed_auto; OUT nine r2+r3 double-greens."""
+    Round 5: IN near_dup_lsh + ann_recall + hex7_kdisk + polyfill_eq_df
+    + polygon_join_df; OUT five r3+r4 double-greens (curation_pipeline,
+    doc_chunks, near_dedup_keep, pii_redaction, decontamination)."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -2495,7 +2514,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors_all": _q_neighbors_all,
         "asof_attribution": _q_asof_attribution,
         "ivf_topk": _q_ivf_topk,
-        "decontamination": _q_decontamination,
         "decode_all": _q_decode_all,
         "linetrace": _q_linetrace,
         "zone_union": _q_zone_union,
@@ -2514,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_assign": _q_zone_assign,
         "zone_subtract": _q_zone_subtract,
         "polygon_join": _q_polygon_join,
+        "polygon_join_df": _q_polygon_join_df,
         "raster_to_vector": _q_raster_to_vector,
         "zone_dateline": _q_zone_dateline,
         "kdisk_multiface": _q_kdisk_multiface,
@@ -2533,12 +2552,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "asof_bucketed_auto": _q_asof_bucketed_auto,
         "polyfill_eq_df": _q_polyfill_eq_df,
+        # -- 51+: oracle-backed overflow, every entry driver-green in a
+        # prior round (rotation ledger: FIXTURES.md section 5)
+        "decontamination": _q_decontamination,
         "curation_pipeline": _q_curation_pipeline,
         "doc_chunks": _q_doc_chunks,
         "near_dedup_keep": _q_near_dedup_keep,
         "pii_redaction": _q_pii_redaction,
-        # -- 51+: oracle-backed overflow, every entry driver-green in a
-        # prior round (rotation ledger: FIXTURES.md section 5)
         "salted_cell_agg": _q_salted_cell_agg,
         "tpch_pricing": _q_tpch_pricing,
         "neighbors_interior": _q_neighbors_interior,
@@ -3648,6 +3668,17 @@ def oracle_sql() -> dict[str, str]:
               AND NOT {_convex_inside_sql(PIP_HOLE)}
         """,
         "polygon_join": f"""
+            WITH pts AS ({ORDERS_POINTS_SQL})
+            SELECT pid, lon, lat, 'z1' AS zone FROM pts
+            WHERE {_convex_inside_sql(PIP_OUTER)}
+              AND NOT {_convex_inside_sql(PIP_HOLE)}
+            UNION ALL
+            SELECT pid, lon, lat, 'z2' AS zone FROM pts
+            WHERE {_convex_inside_sql(PIP_ZONE2)}
+        """,
+        # the DataFrame-native fleet path must reproduce the same
+        # half-plane truth on the same fixture
+        "polygon_join_df": f"""
             WITH pts AS ({ORDERS_POINTS_SQL})
             SELECT pid, lon, lat, 'z1' AS zone FROM pts
             WHERE {_convex_inside_sql(PIP_OUTER)}

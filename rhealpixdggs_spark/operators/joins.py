@@ -578,6 +578,88 @@ def polygon_join(
     ).drop("cell_id")
 
 
+def polygon_join_df(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 3,
+    cfg: DggsConfig = WGS84_003,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    point_id: str = "pid",
+    split_dateline: bool | None = None,
+) -> DataFrame:
+    """DataFrame-NATIVE point-in-polygon spatial join: same semantics
+    as polygon_join (bbox cell-cover prefilter + exact even-odd
+    refine, holes subtracted per part, OR over multipolygon parts of
+    a zone, auto dateline split) but the polygons arrive as a VERTEX
+    TABLE (zone, part, ring, vtx, lon, lat) — ring 0 the exterior,
+    rings >= 1 holes — so NOTHING about the fleet ever lives on the
+    driver: no per-polygon bbox loop, no ring-list closure pickled
+    into tasks. A 10^6-polygon continental parcel/admin fleet is just
+    a bigger input table.
+
+    Plan shape (all equi-joins and aggregations, no nested-loop, no
+    driver collect):
+      1. tiling.resolve_fleet_vertices dateline-resolves the fleet in
+         one Arrow pass (split parts re-keyed part*64+i);
+      2. tiling.fleet_candidate_idx generates each part's padded bbox
+         cover as packed int64 level-order indices — a SUPERSET of
+         every cell intersecting the bbox, so every point inside a
+         polygon is guaranteed a candidate row (the cap prune's pad
+         is 4x the nucleus-to-anywhere-in-cell longitude bound);
+      3. points encode ONCE to the same packed index
+         (rhp_encode_index) and equi-join the candidate table on the
+         8-byte key — at 100 TB the big side shuffles on int64 (or
+         AQE broadcasts a small fleet's cover), never on strings;
+      4. tiling.even_odd_membership refines on the point coords
+         against tiling.fleet_edges — the kernel's exact crossing
+         predicate as whole-stage-codegen column math, two-level
+         parity (ext-odd AND NOT hole-odd, OR over parts);
+      5. matches (point_id, zone) join back to the original rows, so
+         the output carries every input column plus `zone` (one row
+         per matching zone, like polygon_join).
+
+    `point_id` must be unique per input row (it keys the parity
+    aggregation). Skew note: step 4 shuffles candidate points on
+    `zone` — a single zone whose bbox dominates the point table is a
+    hot key; split such polygons into parts (the parity OR makes
+    part-splitting semantically free) or pre-filter with a finer
+    `res`.
+
+    Dateline handling matches polygon_join: split_dateline=None
+    auto-splits crossing rings, True forces, False raises inside the
+    distributed resolve stage (kernel regions.split_antimeridian;
+    +180 normalizes to -180 in the refine exactly like the encode
+    prefilter, so seam points cannot silently drop)."""
+    from ..functions.udfs import rhp_encode_index
+    from .tiling import (
+        even_odd_membership,
+        fleet_candidate_idx,
+        fleet_edges,
+        resolve_fleet_vertices,
+    )
+
+    resolved = resolve_fleet_vertices(
+        polygons, cfg, split_dateline, "polygon_join_df"
+    )
+    cand = fleet_candidate_idx(resolved, cfg, res).distinct()
+
+    enc = points.select(
+        F.col(point_id),
+        F.when(F.col(lon_col) == 180.0, F.lit(-180.0))
+        .otherwise(F.col(lon_col)).alias("px"),
+        F.col(lat_col).alias("py"),
+        rhp_encode_index(F.col(lon_col), F.col(lat_col), res, cfg)
+        .alias("_idx"),
+    )
+    cpts = enc.join(cand, "_idx").select(point_id, "px", "py", "zone")
+    matches = even_odd_membership(
+        cpts, fleet_edges(resolved), [point_id, "zone"],
+        x_col="px", y_col="py",
+    )
+    return points.join(matches, point_id)
+
+
 def containment_join_idx(
     points: DataFrame,
     tiles: DataFrame,

@@ -1148,64 +1148,22 @@ def polygons_to_df(spark: SparkSession, polygons: dict[str, list]) -> DataFrame:
     return spark.createDataFrame(rows, POLYGON_TABLE_SCHEMA)
 
 
-def polyfill_many_df(
-    spark: SparkSession,
+def resolve_fleet_vertices(
     polygons: DataFrame,
-    res: int,
-    cfg: DggsConfig = WGS84_003,
-    partitions: int | None = None,
-    split_dateline: bool | None = None,
+    cfg: DggsConfig,
+    split_dateline: bool | None,
+    caller: str,
 ) -> DataFrame:
-    """DataFrame-NATIVE polygon-fleet polyfill: same semantics as
-    polyfill_many (centroid-in-polygon membership, rhp_wrappers.py:
-    510-599; band spans + closed-form cap annuli + nucleus-lon prune)
-    but the polygons arrive as a VERTEX TABLE
+    """Dateline-resolve a polygon-fleet VERTEX TABLE
     (zone, part, ring, vtx, lon, lat) — ring 0 the exterior, rings
-    >= 1 holes — so NOTHING about the fleet ever lives on the driver:
-    no span loop, no vertex-list closure pickled into tasks. A
-    10^6-polygon continental parcel fleet is just a bigger input
-    table; driver memory stays flat.
-
-    Plan shape (all equi-joins and aggregations, no nested-loop):
-      1. dateline resolve: vertices collect_list into one array per
-         (zone, part) — a JVM partial-aggregation shuffle — and ONE
-         Arrow-batched pandas_udf applies the exact kernel
-         split_antimeridian per polygon (plain Python loops over the
-         batch, microseconds per small ring; split parts get ids
-         part*64 + i), exploding back to vertex rows. No per-group
-         pandas overhead: a 100k-polygon fleet resolves in one pass.
-      2. per-part exterior bbox stats are a plain JVM aggregation;
-         the HEALPix y of the lat extremes is one tiny Arrow pass
-         over the per-part rows; band row/column spans and cap annuli
-         are then pure column math, sequence-exploded exactly like
-         polyfill_many (shared _interleave_idx / _cap_candidate_cells
-         helpers).
-      3. membership replaces the driver-closure even-odd UDF with a
-         RELATIONAL even-odd: candidates equi-join the edge table on
-         zone, each edge contributes the kernel's crossing predicate
-         ((y1 > cy) != (y2 > cy)) AND cx < (x2-x1)*(cy-y1)/(y2-y1)+x1
-         (kernel/regions.py:336-362, bit-identical arithmetic), and a
-         two-level parity aggregation applies ext-odd AND NOT
-         hole-odd per part. Everything stays JVM-side whole-stage
-         codegen; the only Python is the geometry decode kernels.
-
-    split_dateline=None auto-splits crossing rings; True forces the
-    split; False raises (inside the distributed resolve stage) if any
-    ring crosses. Output: (tile_id, res, zone), distinct."""
-    from pyspark.sql.window import Window
-
-    from ..functions.udfs import rhp_centroid
-    from ..kernel.regions import healpix_forward_cfg
-
-    R = cfg.R_A
-    w = cfg.cell_width(res)
-    n3 = cfg.N_side**res
-    band = R * np.pi / 4
-    y_pole = R * np.pi / 2
-
-    if partitions:
-        polygons = polygons.repartition(partitions, "zone", "part")
-
+    >= 1 holes — entirely executor-side: vertices collect_list into
+    one array per (zone, part) (a JVM partial-aggregation shuffle)
+    and ONE Arrow-batched pandas_udf applies the exact kernel
+    split_antimeridian per polygon, exploding back to vertex rows
+    with split parts re-keyed as part*64 + i. Shared by
+    polyfill_many_df and polygon_join_df; split_dateline semantics
+    are the fleet-wide defaults (None detects, True forces, False
+    raises inside the distributed stage)."""
     grouped = polygons.groupBy("zone", "part").agg(
         F.sort_array(
             F.collect_list(F.struct("ring", "vtx", "lon", "lat"))
@@ -1232,8 +1190,7 @@ def polyfill_many_df(
                     cur_ring = v["ring"]
                 rings[-1].append((float(v["lon"]), float(v["lat"])))
             polys = _resolve_split_dateline(
-                [(rings[0], rings[1:])], split_dateline, cfg,
-                "polyfill_many_df",
+                [(rings[0], rings[1:])], split_dateline, cfg, caller,
             )
             rows = []
             for j, (ext, holes) in enumerate(polys):
@@ -1246,7 +1203,7 @@ def polyfill_many_df(
             out_all.append(rows)
         return pd.Series(out_all, index=verts_s.index)
 
-    resolved = (
+    return (
         grouped.select(
             "zone", "part",
             F.explode(_split.asNondeterministic()(F.col("verts"))).alias("v"),
@@ -1260,9 +1217,30 @@ def polyfill_many_df(
         )
     )
 
-    # Per-part exterior bbox: plain JVM aggregation; the forward
-    # HEALPix y of the lat extremes is a tiny Arrow pass over the
-    # per-part rows (one row per polygon part, distributed).
+
+def fleet_candidate_idx(
+    resolved: DataFrame, cfg: DggsConfig, res: int
+) -> DataFrame:
+    """Candidate res-`res` cells per zone for a dateline-RESOLVED
+    vertex fleet, as packed int64 level-order indices (zone, _idx) —
+    pure column math end to end: per-part exterior bbox stats are a
+    JVM aggregation, the HEALPix y of the lat extremes is one tiny
+    Arrow pass over the per-part rows, band row/column spans and
+    closed-form polar-cap annuli are sequence-exploded exactly like
+    polyfill_many's driver loop (shared _interleave_idx /
+    _cap_candidate_cells helpers, +/-1-cell padding). The output is a
+    SUPERSET of every cell intersecting each part's bbox, so it
+    prefilters both centroid membership (polyfill_many_df) and
+    point containment (polygon_join_df). May contain duplicates —
+    callers dedupe on the 8-byte key."""
+    from ..kernel.regions import healpix_forward_cfg
+
+    R = cfg.R_A
+    w = cfg.cell_width(res)
+    n3 = cfg.N_side**res
+    band = R * np.pi / 4
+    y_pole = R * np.pi / 2
+
     @pandas_udf(T.DoubleType())
     def _fwd_y(lat_s: pd.Series) -> pd.Series:
         _, y = healpix_forward_cfg(
@@ -1371,7 +1349,7 @@ def polyfill_many_df(
         ((F.max("lon_hi") - F.min("lon_lo")) / 2.0).alias("lam_half"),
     )
     gj = _cap_candidate_cells(capdf, bboxes, cfg, res)
-    keyed = keyed.unionByName(
+    return keyed.unionByName(
         gj.select(
             "zone",
             _interleave_idx(
@@ -1379,6 +1357,123 @@ def polyfill_many_df(
             ).alias("_idx"),
         )
     )
+
+
+def fleet_edges(resolved: DataFrame) -> DataFrame:
+    """Edge table (zone, part, ring, x1, y1, x2, y2) of a resolved
+    vertex fleet via lead() + wrap-around closing edge. A duplicated
+    closing vertex only adds degenerate y1 == y2 edges, which the
+    even-odd crossing predicate ignores — kernel parity. Shared by
+    polyfill_many_df (centroid membership) and polygon_join_df
+    (point containment)."""
+    from pyspark.sql.window import Window
+
+    w_ring = Window.partitionBy("zone", "part", "ring").orderBy("vtx")
+    w_all = w_ring.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return resolved.select(
+        "zone", "part", "ring",
+        F.col("lon").alias("x1"), F.col("lat").alias("y1"),
+        F.coalesce(
+            F.lead("lon").over(w_ring), F.first("lon").over(w_all)
+        ).alias("x2"),
+        F.coalesce(
+            F.lead("lat").over(w_ring), F.first("lat").over(w_all)
+        ).alias("y2"),
+    )
+
+
+def even_odd_membership(
+    pts: DataFrame, edges: DataFrame, keys: list[str],
+    x_col: str = "cx", y_col: str = "cy",
+) -> DataFrame:
+    """Relational even-odd point-in-polygon over a (point x zone)
+    candidate table: `pts` rows equi-join the edge table on zone,
+    each edge contributes the kernel's crossing predicate
+    ((y1 > y) != (y2 > y)) AND x < (x2-x1)*(y-y1)/(y2-y1)+x1
+    (kernel/regions.py:336-362, bit-identical arithmetic), and a
+    two-level parity aggregation applies ext-odd AND NOT hole-odd per
+    part, OR over multipolygon parts. Returns the distinct `keys`
+    rows that are inside. Everything stays JVM-side whole-stage
+    codegen."""
+    j = pts.join(edges, "zone")
+    yv, xv = F.col(y_col), F.col(x_col)
+    crosses = (F.col("y1") > yv) != (F.col("y2") > yv)
+    xin = (
+        (F.col("x2") - F.col("x1")) * (yv - F.col("y1"))
+        / (F.col("y2") - F.col("y1")) + F.col("x1")
+    )
+    hit = crosses & (xv < xin)
+    per_ring = j.groupBy(*keys, "part", "ring").agg(
+        ((F.sum(hit.cast("long")) % 2) == 1).alias("odd")
+    )
+    per_part = per_ring.groupBy(*keys, "part").agg(
+        F.max(F.when(F.col("ring") == 0, F.col("odd"))).alias("in_ext"),
+        F.coalesce(
+            F.max(F.when(F.col("ring") > 0, F.col("odd"))), F.lit(False)
+        ).alias("in_hole"),
+    )
+    return (
+        per_part.where(F.col("in_ext") & ~F.col("in_hole"))
+        .select(*keys)
+        .distinct()
+    )
+
+
+def polyfill_many_df(
+    spark: SparkSession,
+    polygons: DataFrame,
+    res: int,
+    cfg: DggsConfig = WGS84_003,
+    partitions: int | None = None,
+    split_dateline: bool | None = None,
+) -> DataFrame:
+    """DataFrame-NATIVE polygon-fleet polyfill: same semantics as
+    polyfill_many (centroid-in-polygon membership, rhp_wrappers.py:
+    510-599; band spans + closed-form cap annuli + nucleus-lon prune)
+    but the polygons arrive as a VERTEX TABLE
+    (zone, part, ring, vtx, lon, lat) — ring 0 the exterior, rings
+    >= 1 holes — so NOTHING about the fleet ever lives on the driver:
+    no span loop, no vertex-list closure pickled into tasks. A
+    10^6-polygon continental parcel fleet is just a bigger input
+    table; driver memory stays flat.
+
+    Plan shape (all equi-joins and aggregations, no nested-loop):
+      1. dateline resolve: vertices collect_list into one array per
+         (zone, part) — a JVM partial-aggregation shuffle — and ONE
+         Arrow-batched pandas_udf applies the exact kernel
+         split_antimeridian per polygon (plain Python loops over the
+         batch, microseconds per small ring; split parts get ids
+         part*64 + i), exploding back to vertex rows. No per-group
+         pandas overhead: a 100k-polygon fleet resolves in one pass.
+      2. per-part exterior bbox stats are a plain JVM aggregation;
+         the HEALPix y of the lat extremes is one tiny Arrow pass
+         over the per-part rows; band row/column spans and cap annuli
+         are then pure column math, sequence-exploded exactly like
+         polyfill_many (shared _interleave_idx / _cap_candidate_cells
+         helpers).
+      3. membership replaces the driver-closure even-odd UDF with a
+         RELATIONAL even-odd: candidates equi-join the edge table on
+         zone, each edge contributes the kernel's crossing predicate
+         ((y1 > cy) != (y2 > cy)) AND cx < (x2-x1)*(cy-y1)/(y2-y1)+x1
+         (kernel/regions.py:336-362, bit-identical arithmetic), and a
+         two-level parity aggregation applies ext-odd AND NOT
+         hole-odd per part. Everything stays JVM-side whole-stage
+         codegen; the only Python is the geometry decode kernels.
+
+    split_dateline=None auto-splits crossing rings; True forces the
+    split; False raises (inside the distributed resolve stage) if any
+    ring crosses. Output: (tile_id, res, zone), distinct."""
+    from ..functions.udfs import rhp_centroid
+
+    if partitions:
+        polygons = polygons.repartition(partitions, "zone", "part")
+
+    resolved = resolve_fleet_vertices(
+        polygons, cfg, split_dateline, "polyfill_many_df"
+    )
+    keyed = fleet_candidate_idx(resolved, cfg, res)
 
     @pandas_udf(T.StringType())
     def idx_to_suid(ix: pd.Series) -> pd.Series:
@@ -1402,48 +1497,17 @@ def polyfill_many_df(
         )
     )
 
-    # Relational even-odd: edge table via lead() + wrap-around edge
-    # (a duplicated closing vertex only adds degenerate y1==y2 edges,
-    # which the crossing predicate ignores — kernel parity).
-    w_ring = Window.partitionBy("zone", "part", "ring").orderBy("vtx")
-    w_all = w_ring.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # Relational even-odd on the candidate CENTROIDS (shared helpers;
+    # the edge table's duplicated closing vertices only add degenerate
+    # y1==y2 edges, which the crossing predicate ignores — kernel
+    # parity).
+    inside = even_odd_membership(
+        cand, fleet_edges(resolved), ["zone", "tile_id"]
     )
-    edges = resolved.select(
-        "zone", "part", "ring",
-        F.col("lon").alias("x1"), F.col("lat").alias("y1"),
-        F.coalesce(
-            F.lead("lon").over(w_ring), F.first("lon").over(w_all)
-        ).alias("x2"),
-        F.coalesce(
-            F.lead("lat").over(w_ring), F.first("lat").over(w_all)
-        ).alias("y2"),
-    )
-    j = cand.join(edges, "zone")
-    crosses = (F.col("y1") > F.col("cy")) != (F.col("y2") > F.col("cy"))
-    xin = (
-        (F.col("x2") - F.col("x1")) * (F.col("cy") - F.col("y1"))
-        / (F.col("y2") - F.col("y1")) + F.col("x1")
-    )
-    hit = crosses & (F.col("cx") < xin)
-    per_ring = j.groupBy("zone", "tile_id", "part", "ring").agg(
-        ((F.sum(hit.cast("long")) % 2) == 1).alias("odd")
-    )
-    per_part = per_ring.groupBy("zone", "tile_id", "part").agg(
-        F.max(F.when(F.col("ring") == 0, F.col("odd"))).alias("in_ext"),
-        F.coalesce(
-            F.max(F.when(F.col("ring") > 0, F.col("odd"))), F.lit(False)
-        ).alias("in_hole"),
-    )
-    return (
-        per_part.where(F.col("in_ext") & ~F.col("in_hole"))
-        .select("zone", "tile_id")
-        .distinct()
-        .select(
-            "tile_id",
-            (F.length("tile_id") - 1).cast("int").alias("res"),
-            "zone",
-        )
+    return inside.select(
+        "tile_id",
+        (F.length("tile_id") - 1).cast("int").alias("res"),
+        "zone",
     )
 
 

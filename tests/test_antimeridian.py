@@ -366,3 +366,48 @@ class TestDistributed:
         )
         assert got == exp
         assert got
+
+
+class TestPolygonJoinDFDateline:
+    """polygon_join_df must match polygon_join's dateline behavior:
+    auto-split by default, +180/-180 seam points match, False raises
+    (inside the distributed resolve stage)."""
+
+    def _pts(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, 176.0, 15.0),   # west of the seam, inside
+                (2, -176.0, 20.0),  # east of the seam, inside
+                (3, 150.0, 15.0),   # outside
+                (4, 180.0, 15.0),   # seam meridian, +180 form
+                (5, -180.0, 15.0),  # seam meridian, -180 form
+            ],
+            "pid int, lon double, lat double",
+        )
+
+    def _fleet(self, spark):
+        from rhealpixdggs_spark.operators.tiling import polygons_to_df
+
+        return polygons_to_df(spark, {"fiji": [(CROSSING_RAW, [])]})
+
+    def test_auto_split_and_seam_points(self, spark):
+        from rhealpixdggs_spark.operators.joins import polygon_join_df
+
+        got = {
+            (r.pid, r.zone)
+            for r in polygon_join_df(
+                self._pts(spark), self._fleet(spark), res=2
+            ).collect()
+        }
+        assert got == {
+            (1, "fiji"), (2, "fiji"), (4, "fiji"), (5, "fiji")
+        }
+
+    def test_false_raises_on_crossing(self, spark):
+        from rhealpixdggs_spark.operators.joins import polygon_join_df
+
+        with pytest.raises(Exception, match="antimeridian"):
+            polygon_join_df(
+                self._pts(spark), self._fleet(spark), res=2,
+                split_dateline=False,
+            ).collect()

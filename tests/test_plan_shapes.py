@@ -499,3 +499,93 @@ class TestPolyfillManyDFPlan:
         assert "CartesianProduct" not in plan
         assert "LocalTableScan" not in plan
         assert out.limit(1).count() >= 0
+
+
+class TestCentroidFanout:
+    """Round-5 regression pin: AQE's byte-based coalescing once folded
+    the few-MB distinct() output feeding the Gauss-Legendre centroid
+    pass into ONE task, serializing ~1.75 ms/row of Python compute
+    (BENCH/fleet_mixed_attribution.json: 18.8 s -> 3.45 s after the
+    fix). The fix is an explicit round-robin repartition with a pinned
+    count, which AQE must not re-coalesce — assert the plan keeps it
+    and that the centroid stage actually runs wide."""
+
+    def _fleet(self, spark, n=40):
+        return {
+            f"z{i}": [
+                (
+                    [
+                        (-150.0 + 7.0 * (i % 40), -20.0),
+                        (-145.0 + 7.0 * (i % 40), -22.0),
+                        (-147.0 + 7.0 * (i % 40), 8.0),
+                    ],
+                    [],
+                )
+            ]
+            for i in range(n)
+        }
+
+    def test_polyfill_many_plan_keeps_roundrobin(self, spark):
+        from rhealpixdggs_spark.operators.tiling import polyfill_many
+
+        out = polyfill_many(spark, self._fleet(spark), 3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" in plan
+
+    def test_polyfill_many_centroid_stage_runs_wide(self, spark):
+        from pyspark.sql import functions as F
+
+        from rhealpixdggs_spark.operators.tiling import polyfill_many
+
+        out = polyfill_many(spark, self._fleet(spark), 3)
+        # spark_partition_id at the output reads the stage the
+        # centroid decode ran in (no exchange after the fan-out);
+        # with defaultParallelism cores and >> that many candidate
+        # rows, a healthy round-robin spread must use more than one.
+        used = (
+            out.withColumn("_pid", F.spark_partition_id())
+            .select("_pid")
+            .distinct()
+            .count()
+        )
+        assert used > 1
+
+
+class TestPolygonJoinDFPlan:
+    def test_no_nested_loop_no_driver_fleet_int64_keys(self, spark):
+        """polygon_join_df: candidate prefilter joins on the packed
+        int64 cell index (8-byte shuffle keys, not suid strings), the
+        even-odd refine is an equi-join on zone, and the fleet never
+        materializes on the driver (spark.range generator input)."""
+        from pyspark.sql import functions as F
+
+        from rhealpixdggs_spark.operators.joins import polygon_join_df
+
+        tri = spark.range(100).select(
+            F.concat(F.lit("z"), F.col("id")).alias("zone"),
+            F.lit(0).cast("int").alias("part"),
+            F.lit(0).cast("int").alias("ring"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("vtx"),
+            (F.col("id") % 50 * 6.0 - 160.0).alias("base"),
+        ).select(
+            "zone", "part", "ring", "vtx",
+            (F.col("base") + F.when(F.col("vtx") == 1, 6.0).otherwise(
+                F.when(F.col("vtx") == 2, 3.0).otherwise(0.0)
+            )).alias("lon"),
+            F.when(F.col("vtx") == 0, -20.0).otherwise(
+                F.when(F.col("vtx") == 1, -22.0).otherwise(10.0)
+            ).alias("lat"),
+        )
+        pts = spark.range(500).select(
+            F.col("id").alias("pid"),
+            (F.col("id") % 100 * 3.4 - 170.0).alias("lon"),
+            (F.floor(F.col("id") / 100) * 8.0 - 21.0).alias("lat"),
+        )
+        out = polygon_join_df(pts, tri, res=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "LocalTableScan" not in plan
+        # the prefilter join key is the packed int64 index column
+        assert "_idx" in plan
+        assert out.limit(1).count() >= 0

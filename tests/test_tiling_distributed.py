@@ -6,6 +6,7 @@ outputs exactly, including cap rows, boundary prepend/append rows and
 polygon holes."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from rhealpixdggs_spark.kernel import regions as KR
 from rhealpixdggs_spark.kernel.constants import WGS84_003
@@ -400,4 +401,69 @@ class TestPolyfillManyDF:
                 spark, polygons_to_df(spark, zones), 3
             ).collect()
         )
+        assert got == exp and len(got) > 0
+
+
+class TestPolygonJoinDF:
+    """polygon_join_df: the DataFrame-native point-in-polygon join
+    must be result-identical to polygon_join on the same fixtures
+    (same bbox-cover prefilter semantics, exact even-odd refine,
+    holes, multipolygon OR) while keeping the fleet off the driver."""
+
+    ZONES = TestPolyfillManyDF.ZONES
+
+    def _pts(self, spark):
+        # deterministic lon/lat grid spanning all three fixture zones
+        # (incl. the cap's high-lat reach), generated distributedly
+        n_lon = 27
+        return spark.range(27 * 39).select(
+            F.col("id").cast("int").alias("pid"),
+            (-30.0 + (F.col("id") % n_lon) * 2.5).alias("lon"),
+            (-20.0 + F.floor(F.col("id") / n_lon) * 2.5).alias("lat"),
+        )
+
+    def _as_list(self, zones):
+        return [(z, ext, holes) for z, parts in zones.items()
+                for ext, holes in parts]
+
+    def test_matches_polygon_join(self, spark):
+        from rhealpixdggs_spark.operators.joins import (
+            polygon_join, polygon_join_df,
+        )
+        from rhealpixdggs_spark.operators.tiling import polygons_to_df
+
+        pts = self._pts(spark)
+        exp = sorted(
+            (r.pid, r.zone)
+            for r in polygon_join(
+                pts, self._as_list(self.ZONES), res=2
+            ).collect()
+        )
+        got = sorted(
+            (r.pid, r.zone)
+            for r in polygon_join_df(
+                pts, polygons_to_df(spark, self.ZONES), res=2
+            ).collect()
+        )
+        assert got == exp and len(got) > 0
+
+    def test_multipart_zone_or_and_output_columns(self, spark):
+        from rhealpixdggs_spark.operators.joins import (
+            polygon_join, polygon_join_df,
+        )
+        from rhealpixdggs_spark.operators.tiling import polygons_to_df
+
+        zones = {"two": [
+            ([(-5.0, -5.0), (12.0, -5.0), (12.0, 12.0), (-5.0, 12.0)], []),
+            ([(5.0, 5.0), (20.0, 5.0), (20.0, 20.0), (5.0, 20.0)], []),
+        ]}
+        pts = self._pts(spark)
+        out = polygon_join_df(pts, polygons_to_df(spark, zones), res=2)
+        # original columns preserved + zone; one row per (point, zone)
+        assert set(out.columns) == {"pid", "lon", "lat", "zone"}
+        exp = sorted(
+            (r.pid, r.zone)
+            for r in polygon_join(pts, self._as_list(zones), res=2).collect()
+        )
+        got = sorted((r.pid, r.zone) for r in out.collect())
         assert got == exp and len(got) > 0
