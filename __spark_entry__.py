@@ -1753,6 +1753,29 @@ def _q_zone_catchment(spark, sf_dir):
     ).select("cell_id", F.col("res").cast("long").alias("res")).orderBy("cell_id")
 
 
+def _q_zone_tiles_df(spark, sf_dir):
+    """DataFrame-NATIVE lock-step CellZoneFromPoly on the reference's
+    published catchment: the fleet arrives as a vertex TABLE, roots
+    are found executor-side and geometry reaches the classify pass
+    via an equi-join on zone — no driver-side polygon dict
+    (operators/tiling.zone_tiles_many_df, r5). Oracle: the
+    reference's own 254-cell ground-truth list."""
+    from rhealpixdggs_spark.operators.tiling import (
+        polygons_to_df,
+        zone_tiles_many_df,
+    )
+
+    coords, _ = _catchment_golden()
+    fleet = polygons_to_df(spark, {"catch": [(list(coords), [])]})
+    return (
+        zone_tiles_many_df(spark, fleet, res_limit=9)
+        .select(
+            "tile_id", F.col("res").cast("long").alias("res"), "zone"
+        )
+        .orderBy("tile_id")
+    )
+
+
 def _q_zone_assign(spark, sf_dir):
     """End-to-end per-point multi-resolution zone assignment (the
     north-star 'per-URL tile assignments'): deterministic points in
@@ -2529,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "polyfill_eq": _q_polyfill_eq,
         "zone_catchment": _q_zone_catchment,
+        "zone_tiles_df": _q_zone_tiles_df,
         "zone_assign": _q_zone_assign,
         "zone_subtract": _q_zone_subtract,
         "polygon_join": _q_polygon_join,
@@ -2547,13 +2571,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_cap": _q_polyfill_cap,
         "linetrace_dateline": _q_linetrace_dateline,
         "shape_all": _q_shape_all,
-        "repetition_signals": _q_repetition_signals,
         "corpus_sample": _q_corpus_sample,
         "dedup_components": _q_dedup_components,
         "asof_bucketed_auto": _q_asof_bucketed_auto,
         "polyfill_eq_df": _q_polyfill_eq_df,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "repetition_signals": _q_repetition_signals,
         "decontamination": _q_decontamination,
         "curation_pipeline": _q_curation_pipeline,
         "doc_chunks": _q_doc_chunks,
@@ -3793,6 +3817,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "polyfill_eq": _polyfill_eq_oracle_sql(3),
         "zone_catchment": _zone_catchment_oracle_sql(),
+        # the DataFrame-native lock-step fleet path must reproduce the
+        # same published 254-cell ground truth
+        "zone_tiles_df": (
+            "SELECT cell_id AS tile_id, length(cell_id) - 1 AS res, "
+            "'catch' AS zone FROM ("
+            + _zone_catchment_oracle_sql()
+            + ") ORDER BY tile_id"
+        ),
         "zone_assign": _zone_assign_oracle_sql(),
         "lsh_cosine_topk": _lsh_cosine_topk_oracle_sql(k=5, dim=64, n_planes=4),
         "ivf_topk": _ivf_topk_oracle_sql(k=5, dim=64, n_cent=4, nprobe=2),

@@ -791,6 +791,163 @@ def zone_tiles_many(
     )
 
 
+def _polys_from_vertex_rows(rows) -> list:
+    """Rebuild a zone's [(exterior, holes), ...] part list from its
+    sorted (part, ring, vtx, lon, lat) vertex rows — the executor-side
+    inverse of polygons_to_df / resolve_fleet_vertices output."""
+    parts: dict = {}
+    for r in rows:
+        parts.setdefault(r["part"], {}).setdefault(r["ring"], []).append(
+            (float(r["lon"]), float(r["lat"]))
+        )
+    out = []
+    for p in sorted(parts):
+        rings = parts[p]
+        out.append(
+            (rings[0], [rings[k] for k in sorted(rings) if k != 0])
+        )
+    return out
+
+
+def zone_tiles_many_df(
+    spark: SparkSession,
+    polygons: DataFrame,
+    res_limit: int,
+    cfg: DggsConfig = WGS84_003,
+    checkpoint: bool = True,
+    split_dateline: bool | None = None,
+) -> DataFrame:
+    """DataFrame-NATIVE lock-step CellZoneFromPoly: same semantics as
+    zone_tiles_many (one mixed-resolution frontier advances ALL zones
+    together, <= res_limit+1 jobs total) but the fleet arrives as a
+    VERTEX TABLE (zone, part, ring, vtx, lon, lat) and NOTHING about
+    it ever lives on the driver: the geometry reaches the classify
+    pass through an equi-join on zone instead of a pickled dict
+    closure, and the per-zone root search (finest bounding cell +
+    res-0 seeding) runs executor-side in one Arrow pass over the
+    per-zone rows. A 10^6-zone fleet is just a bigger input table.
+
+    Per-level plan: frontier children (a column explode) equi-join
+    the localCheckpoint'ed per-zone geometry table on zone, and ONE
+    pandas UDF classifies the batch — geometry is rebuilt once per
+    DISTINCT zone per batch (the join hash-partitions by zone, so
+    batches hold few zones and the rebuild amortizes). Trade-off vs
+    the dict path: each frontier row carries its zone's vertex array
+    through the join (fine for parcel/admin-scale rings; a
+    10^6-vertex coastline duplicates per cell — shard such zones into
+    parts first). Output: (tile_id, res, zone), same cell sets as
+    zone_tiles_many / zone_from_poly_df per zone."""
+    from ..kernel import zones as KZ
+    from ..kernel.constants import CELLS0
+
+    resolved = resolve_fleet_vertices(
+        polygons, cfg, split_dateline, "zone_tiles_many_df"
+    )
+    zgeom = resolved.groupBy("zone").agg(
+        F.sort_array(
+            F.collect_list(F.struct("part", "ring", "vtx", "lon", "lat"))
+        ).alias("g")
+    )
+    if checkpoint:
+        zgeom = zgeom.localCheckpoint(eager=True)
+
+    @pandas_udf("array<struct<cell_id:string,kind:string>>")
+    def _roots(g_s: pd.Series) -> pd.Series:
+        out_all = []
+        for rows in g_s:
+            polys = _polys_from_vertex_rows(rows)
+            geom = KZ._Geometry(polys)
+            bc = KZ.get_finest_containing_cell(cfg, polys)
+            roots = [bc] if bc is not None else list(CELLS0)
+            seeds = []
+            for root in roots:
+                ring = KZ._cell_ring_ellipsoidal(cfg, root)
+                if len(roots) > 1 and not (
+                    geom.overlaps_ring(ring) or geom.contains_ring(ring)
+                ):
+                    continue
+                if geom.contains_ring(ring):
+                    seeds.append({"cell_id": root, "kind": "emit"})
+                elif len(root) <= res_limit:
+                    seeds.append({"cell_id": root, "kind": "frontier"})
+            out_all.append(seeds)
+        return pd.Series(out_all, index=g_s.index)
+
+    seeds = zgeom.select(
+        "zone", F.explode(_roots.asNondeterministic()(F.col("g"))).alias("r")
+    ).select("zone", F.col("r.cell_id").alias("cell_id"), F.col("r.kind"))
+    if checkpoint:
+        seeds = seeds.localCheckpoint(eager=True)
+
+    parts: list[DataFrame] = [
+        seeds.where(F.col("kind") == "emit").select("zone", "cell_id")
+    ]
+
+    @pandas_udf("contains boolean, overlaps boolean, nucleus_in boolean")
+    def _classify(zone: pd.Series, cell: pd.Series,
+                  g: pd.Series) -> pd.DataFrame:
+        n = len(cell)
+        c = np.zeros(n, dtype=bool)
+        o = np.zeros(n, dtype=bool)
+        nu = np.zeros(n, dtype=bool)
+        z = zone.to_numpy(dtype=object)
+        s = cell.to_numpy(dtype=object)
+        lens = np.array([len(x) for x in s])
+        for zname in pd.unique(zone):
+            zm = z == zname
+            first = int(np.flatnonzero(zm)[0])
+            geom = KZ._Geometry(_polys_from_vertex_rows(g.iloc[first]))
+            for L in np.unique(lens[zm]):
+                m = zm & (lens == L)
+                cc, oo, nn = KZ.classify_batch(cfg, s[m].astype(str), geom)
+                c[m], o[m], nu[m] = cc, oo, nn
+        return pd.DataFrame(
+            {"contains": c, "overlaps": o, "nucleus_in": nu},
+            index=cell.index,
+        )
+
+    digits = [str(i) for i in range(cfg.N_side**2)]
+    frontier = seeds.where(F.col("kind") == "frontier").select(
+        "zone", "cell_id"
+    )
+    for _level in range(res_limit):
+        if frontier is None:
+            break
+        children = frontier.select(
+            "zone",
+            F.explode(
+                F.array(*[F.concat(F.col("cell_id"), F.lit(d)) for d in digits])
+            ).alias("cell_id"),
+        )
+        cls = children.join(zgeom, "zone").withColumn(
+            "_c",
+            _classify.asNondeterministic()(
+                F.col("zone"), F.col("cell_id"), F.col("g")
+            ),
+        ).select("zone", "cell_id", "_c")
+        if checkpoint:
+            cls = cls.localCheckpoint(eager=True)
+        at_limit = (F.length("cell_id") - 1) == res_limit
+        parts.append(
+            cls.where(
+                F.col("_c.contains") | (at_limit & F.col("_c.nucleus_in"))
+            ).select("zone", "cell_id")
+        )
+        frontier = cls.where(
+            ~F.col("_c.contains") & ~at_limit & F.col("_c.overlaps")
+        ).select("zone", "cell_id")
+        if frontier.isEmpty():
+            frontier = None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("cell_id").alias("tile_id"),
+        (F.length("cell_id") - 1).cast("int").alias("res"),
+        "zone",
+    )
+
+
 def _interleave_idx(cfg: DggsConfig, res: int, face, i_col, j_col):
     """Level-order index of the res-`res` cell at (row i, col j) of
     planar face `face` — the digit-interleave closed form shared by

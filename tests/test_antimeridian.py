@@ -411,3 +411,27 @@ class TestPolygonJoinDFDateline:
                 self._pts(spark), self._fleet(spark), res=2,
                 split_dateline=False,
             ).collect()
+
+
+class TestZoneTilesManyDFDateline:
+    def test_matches_dict_path_split(self, spark):
+        """zone_tiles_many_df must auto-split crossing rings exactly
+        like zone_tiles_many (resolve stage shared)."""
+        from rhealpixdggs_spark.operators.tiling import (
+            polygons_to_df, zone_tiles_many, zone_tiles_many_df,
+        )
+
+        zones = {"fiji": [(CROSSING_RAW, [])]}
+        exp = sorted(
+            (r.zone, r.tile_id)
+            for r in zone_tiles_many(
+                spark, zones, res_limit=2, split_dateline=True
+            ).collect()
+        )
+        got = sorted(
+            (r.zone, r.tile_id)
+            for r in zone_tiles_many_df(
+                spark, polygons_to_df(spark, zones), res_limit=2
+            ).collect()
+        )
+        assert got == exp and got

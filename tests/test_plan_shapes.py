@@ -589,3 +589,37 @@ class TestPolygonJoinDFPlan:
         # the prefilter join key is the packed int64 index column
         assert "_idx" in plan
         assert out.limit(1).count() >= 0
+
+
+class TestZoneTilesManyDFPlan:
+    def test_fleet_stays_off_driver(self, spark):
+        """zone_tiles_many_df: a spark.range-generated fleet must
+        reach the classify pass via the zone equi-join — no
+        LocalTableScan of polygon data in the final level's plan (the
+        frontier is checkpointed, so only scan nodes and the join
+        remain)."""
+        from pyspark.sql import functions as F
+
+        from rhealpixdggs_spark.operators.tiling import zone_tiles_many_df
+
+        tri = spark.range(50).select(
+            F.concat(F.lit("z"), F.col("id")).alias("zone"),
+            F.lit(0).cast("int").alias("part"),
+            F.lit(0).cast("int").alias("ring"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("vtx"),
+            (F.col("id") % 50 * 6.0 - 160.0).alias("base"),
+        ).select(
+            "zone", "part", "ring", "vtx",
+            (F.col("base") + F.when(F.col("vtx") == 1, 6.0).otherwise(
+                F.when(F.col("vtx") == 2, 3.0).otherwise(0.0)
+            )).alias("lon"),
+            F.when(F.col("vtx") == 0, -20.0).otherwise(
+                F.when(F.col("vtx") == 1, -22.0).otherwise(10.0)
+            ).alias("lat"),
+        )
+        out = zone_tiles_many_df(spark, tri, 2, checkpoint=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert out.count() > 0

@@ -467,3 +467,67 @@ class TestPolygonJoinDF:
         )
         got = sorted((r.pid, r.zone) for r in out.collect())
         assert got == exp and len(got) > 0
+
+
+class TestZoneTilesManyDF:
+    """zone_tiles_many_df: the DataFrame-native lock-step zone
+    rasterizer must match zone_tiles_many / the per-zone kernel
+    recursion on the same fixtures while keeping the fleet off the
+    driver (geometry reaches the classify pass via an equi-join on
+    zone, roots are found executor-side)."""
+
+    def test_matches_zone_tiles_many_mixed_roots(self, spark):
+        import json
+        import os
+
+        from rhealpixdggs_spark.kernel.zones import zone_from_poly
+        from rhealpixdggs_spark.operators.tiling import (
+            polygons_to_df, zone_tiles_many_df,
+        )
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "rhealpixdggs_spark", "data", "catchment_12104622.json",
+        )
+        with open(path) as f:
+            catchment = json.load(f)["polygon"]
+        tri = [(140.0, -30.0), (155.0, -32.0), (148.0, -20.0)]
+        zones = {"catch": [(catchment, [])], "tri": [(tri, [])]}
+        got = zone_tiles_many_df(spark, polygons_to_df(spark, zones), 6)
+        by_zone = {}
+        for r in got.collect():
+            by_zone.setdefault(r.zone, []).append((r.tile_id, r.res))
+        for name, polys in zones.items():
+            exp = sorted(
+                (c, len(c) - 1) for c in zone_from_poly(WGS84_003, polys, 6)
+            )
+            assert sorted(by_zone.get(name, [])) == exp, name
+
+    def test_hole_and_multipart(self, spark):
+        from rhealpixdggs_spark.operators.tiling import (
+            polygons_to_df, zone_tiles_many, zone_tiles_many_df,
+        )
+
+        zones = {
+            "hole": [(
+                [(-20.0, -10.0), (25.0, -15.0), (30.0, 20.0), (0.0, 30.0)],
+                [[(0.0, 0.0), (10.0, 0.0), (5.0, 10.0)]],
+            )],
+            "two": [
+                ([(100.0, -5.0), (112.0, -5.0), (112.0, 7.0), (100.0, 7.0)],
+                 []),
+                ([(108.0, 3.0), (120.0, 3.0), (120.0, 15.0), (108.0, 15.0)],
+                 []),
+            ],
+        }
+        exp = sorted(
+            (r.tile_id, r.res, r.zone)
+            for r in zone_tiles_many(spark, zones, 4).collect()
+        )
+        got = sorted(
+            (r.tile_id, r.res, r.zone)
+            for r in zone_tiles_many_df(
+                spark, polygons_to_df(spark, zones), 4
+            ).collect()
+        )
+        assert got == exp and len(got) > 0
