@@ -843,11 +843,17 @@ def zone_tiles_many_df(
     resolved = resolve_fleet_vertices(
         polygons, cfg, split_dateline, "zone_tiles_many_df"
     )
+    # explicit round-robin fan-out: the per-zone geometry table is tiny
+    # in BYTES, so AQE's byte-based coalescing would serialize the
+    # compute-dense _roots / _classify Arrow passes onto one task (the
+    # polyfill GL-centroid lesson); hash keys would be eliminated as
+    # redundant with the groupBy's own Exchange, round-robin is not
+    fanout = spark.sparkContext.defaultParallelism
     zgeom = resolved.groupBy("zone").agg(
         F.sort_array(
             F.collect_list(F.struct("part", "ring", "vtx", "lon", "lat"))
         ).alias("g")
-    )
+    ).repartition(fanout)
     if checkpoint:
         zgeom = zgeom.localCheckpoint(eager=True)
 
@@ -919,7 +925,9 @@ def zone_tiles_many_df(
                 F.array(*[F.concat(F.col("cell_id"), F.lit(d)) for d in digits])
             ).alias("cell_id"),
         )
-        cls = children.join(zgeom, "zone").withColumn(
+        # same fan-out before the classify pass: the joined frontier is
+        # small in bytes but ~Python-milliseconds per row to classify
+        cls = children.join(zgeom, "zone").repartition(fanout).withColumn(
             "_c",
             _classify.asNondeterministic()(
                 F.col("zone"), F.col("cell_id"), F.col("g")

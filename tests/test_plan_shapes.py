@@ -622,4 +622,8 @@ class TestZoneTilesManyDFPlan:
         assert "LocalTableScan" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+        # the compute-dense _roots/_classify Arrow passes sit behind an
+        # explicit round-robin fan-out so AQE's byte-based coalescing
+        # cannot serialize them onto one task (tiny-bytes geometry)
+        assert "RoundRobinPartitioning" in plan
         assert out.count() > 0
