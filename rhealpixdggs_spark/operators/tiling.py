@@ -601,6 +601,12 @@ def zone_from_poly_df(
         if frontier_cells
         else None
     )
+    # no per-level fan-out here, by MEASUREMENT: this classify is one
+    # vectorized kernel call per batch (~us/cell), so even a res-10
+    # frontier's Python cost is ~1 s — a round-robin exchange per level
+    # costs more than it saves (res-7 run: 5.0 s -> 16.4 s with it).
+    # Contrast zone_tiles_many_df, where per-ZONE Python (geometry
+    # rebuild + root search) is ms-per-row and the fan-out pays.
     res = len(roots[0]) - 1
     while frontier is not None and res < res_limit:
         children = frontier.select(
@@ -1329,11 +1335,18 @@ def resolve_fleet_vertices(
     polyfill_many_df and polygon_join_df; split_dateline semantics
     are the fleet-wide defaults (None detects, True forces, False
     raises inside the distributed stage)."""
+    # round-robin fan-out before _split: the grouped vertex table is
+    # tiny in bytes, so AQE's byte-based coalescing would run the
+    # per-polygon Python split loop on few tasks (measured: 3.85 s ->
+    # 2.69 s at a 100k fleet, and the serial share grows with fleet
+    # size); downstream consumers all re-shuffle, so the partitioning
+    # is free to be round-robin
+    fanout = polygons.sparkSession.sparkContext.defaultParallelism
     grouped = polygons.groupBy("zone", "part").agg(
         F.sort_array(
             F.collect_list(F.struct("ring", "vtx", "lon", "lat"))
         ).alias("verts")
-    )
+    ).repartition(fanout)
 
     out_t = T.ArrayType(T.StructType([
         T.StructField("part_off", T.IntegerType()),
