@@ -2163,6 +2163,76 @@ def _q_hex7_encode(spark, sf_dir):
     ).orderBy("pid")
 
 
+def _q_hex7_compact(spark, sf_dir):
+    """hex7 cell-set compaction (H3 compact twin, exact in GBT lattice
+    space — operators/hex7_sets.py): three res-0 roots encoded from
+    fixture customer points fan out to their 147 res-2 descendants via
+    the bitwise children expression, a deterministic subset is dropped
+    (roots 2-3 lose cells where id % 13 == 3), and the compactor must
+    rebuild exactly the complete subtrees: root 1 collapses all the way
+    back to res 0, the others to a mixed res-1/res-2 frontier. The
+    DuckDB twin re-derives the roots with the pure-SQL hex7 encoder and
+    unrolls both compaction levels as integer arithmetic on the packed
+    id (digit slot = base-8 digit, res field = id // 2^58)."""
+    from rhealpixdggs_spark.functions.hex7_udfs import (
+        hex7_children,
+        hex7_encode,
+        hex7_resolution,
+        hex7_token,
+    )
+    from rhealpixdggs_spark.operators.hex7_sets import hex7_compact
+
+    pts = _points(spark, sf_dir, "customer").where(F.col("pid") <= 3)
+    roots = pts.select(
+        "pid", hex7_encode(F.col("lon"), F.col("lat"), 0).alias("cell")
+    )
+    l1 = roots.select(
+        "pid", F.explode(hex7_children(F.col("cell"), 0)).alias("cell")
+    )
+    l2 = l1.select(
+        "pid", F.explode(hex7_children(F.col("cell"), 1)).alias("cell")
+    )
+    kept = l2.where(
+        (F.col("pid") == 1) | (F.col("cell") % 13 != 3)
+    ).select("cell")
+    comp = hex7_compact(kept, "cell")
+    return comp.select(
+        hex7_token(F.col("cell")).alias("hex7_tok"),
+        hex7_resolution(F.col("cell")).cast("int").alias("res"),
+    ).orderBy("hex7_tok")
+
+
+_BM25_QUERY_TERMS = [
+    ("q1", "scan"),
+    ("q1", "filter"),
+    ("q2", "join"),
+    ("q2", "hash"),
+    ("q2", "merge"),
+    ("q3", "window"),
+    ("q3", "stream"),
+    ("q4", "sort"),
+    ("q4", "order"),
+    ("q4", "key"),
+]
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 per keyword query over the documents table
+    (operators/ranking.py — Lucene-style positive idf; the retrieval
+    step of a crawl-curation / RAG-indexing pipeline). Query terms are
+    broadcast-semi-joined onto the exploded token stream BEFORE any
+    shuffle, avgdl is an exact integer ratio, and scores round to 6
+    decimals before ranking with a doc-id tie-break, so the top-k is
+    bit-deterministic on both engines."""
+    from rhealpixdggs_spark.operators.ranking import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id string, term string"
+    )
+    return bm25_topk(docs, qdf, k=10).orderBy("query_id", "rank")
+
+
 def _q_sessionize(spark, sf_dir):
     """Sessionization over the events stream table: a session breaks
     after a 30-minute gap per user (lag + running sum of
@@ -2521,8 +2591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail (all previously driver-green) stays value-checked every run
     by tests/test_entry_contract.py and tools/zero_tolerance_audit.py.
     Round 5: IN near_dup_lsh + ann_recall + hex7_kdisk + polyfill_eq_df
-    + polygon_join_df; OUT five r3+r4 double-greens (curation_pipeline,
-    doc_chunks, near_dedup_keep, pii_redaction, decontamination)."""
+    + polygon_join_df + zone_tiles_df + hex7_compact + bm25_topk; OUT
+    eight r3+r4 double-greens (curation_pipeline, doc_chunks,
+    near_dedup_keep, pii_redaction, decontamination,
+    repetition_signals, corpus_sample, dedup_components)."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -2571,12 +2643,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_cap": _q_polyfill_cap,
         "linetrace_dateline": _q_linetrace_dateline,
         "shape_all": _q_shape_all,
-        "corpus_sample": _q_corpus_sample,
-        "dedup_components": _q_dedup_components,
+        "hex7_compact": _q_hex7_compact,
+        "bm25_topk": _q_bm25_topk,
         "asof_bucketed_auto": _q_asof_bucketed_auto,
         "polyfill_eq_df": _q_polyfill_eq_df,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "corpus_sample": _q_corpus_sample,
+        "dedup_components": _q_dedup_components,
         "repetition_signals": _q_repetition_signals,
         "decontamination": _q_decontamination,
         "curation_pipeline": _q_curation_pipeline,
@@ -4020,6 +4094,8 @@ def oracle_sql() -> dict[str, str]:
         "s2_encode": _s2_encode_oracle_sql(),
         "hex7_cross_index": _hex7_cross_index_oracle_sql(),
         "hex7_encode": _hex7_encode_oracle_sql(),
+        "hex7_compact": _hex7_compact_oracle_sql(),
+        "bm25_topk": _bm25_topk_oracle_sql(),
         "image_decode": _image_decode_oracle_sql(),
         "image_resize": _image_resize_oracle_sql(),
         "kdisk_multiface": _kdisk_multiface_oracle_sql(),
@@ -4097,6 +4173,86 @@ def _hex7_encode_oracle_sql() -> str:
     return f"""
         SELECT pid, hex7_tok, hex7_l2 FROM ({hex7_tokens_sql(src, 9)})
         ORDER BY pid
+    """
+
+
+def _hex7_compact_oracle_sql() -> str:
+    """Integer-arithmetic twin of hex7_compact on the deterministic
+    147-cell fixture: roots from the pure-SQL hex7 encoder (res 0),
+    children = parent + 2^58 + (d-7)*8^(15-level) (the packed layout's
+    digit slots are base-8 digits, kernel/hex7.py), and each compaction
+    level is GROUP BY parent HAVING count(*)=7 — within a distinct id
+    set the 7 siblings differ only in the 3-bit finest digit, so the
+    count IS the all-seven test."""
+    from rhealpixdggs_spark.oracle_sql import hex7_tokens_sql
+
+    src = f"SELECT * FROM ({CUSTOMER_POINTS_SQL}) WHERE pid <= 3"
+    p58, m1, m2 = 1 << 58, 8**14, 8**13
+    par2 = f"(cell - ((cell // {m2}) % 8) * {m2}) + 7*{m2} - {p58}"
+    par1 = f"(cell - ((cell // {m1}) % 8) * {m1}) + 7*{m1} - {p58}"
+    return f"""
+        WITH digs(d) AS (VALUES (0),(1),(2),(3),(4),(5),(6)),
+        r0 AS (SELECT pid, CAST('0x' || hex7_tok AS BIGINT) AS cell
+               FROM ({hex7_tokens_sql(src, 0)})),
+        l1 AS (SELECT pid, cell + {p58} + (d - 7) * {m1} AS cell
+               FROM r0, digs),
+        l2 AS (SELECT pid, cell + {p58} + (d - 7) * {m2} AS cell
+               FROM l1, digs),
+        kept AS (SELECT DISTINCT cell FROM l2
+                 WHERE pid = 1 OR cell % 13 <> 3),
+        p2 AS (SELECT {par2} AS parent FROM kept
+               GROUP BY 1 HAVING count(*) = 7),
+        c2 AS (SELECT cell FROM kept
+               WHERE {par2} NOT IN (SELECT parent FROM p2)
+               UNION ALL SELECT parent FROM p2),
+        p1 AS (SELECT {par1} AS parent FROM c2
+               WHERE cell // {p58} = 1
+               GROUP BY 1 HAVING count(*) = 7),
+        c1 AS (SELECT cell FROM c2
+               WHERE cell // {p58} <> 1
+                  OR {par1} NOT IN (SELECT parent FROM p1)
+               UNION ALL SELECT parent FROM p1)
+        SELECT printf('%016x', cell) AS hex7_tok,
+               CAST(cell // {p58} AS INT) AS res
+        FROM c1 ORDER BY hex7_tok
+    """
+
+
+def _bm25_topk_oracle_sql() -> str:
+    """ANSI twin of operators/ranking.bm25_topk: same tokenizer
+    (split-on-whitespace of trimmed text), same exact-integer avgdl
+    (CAST(sum(dl))/n), and the per-posting weight written with the
+    identical IEEE expression tree — ln(1 + ((N - df) + 0.5)/(df+0.5))
+    * ((tf*2.2)/(tf + 1.2*(0.25 + (0.75*dl)/avgdl))) — so the rounded
+    score and the doc-id-tie-broken rank match bit-for-bit."""
+    vals = ", ".join(f"('{q}','{t}')" for q, t in _BM25_QUERY_TERMS)
+    return rf"""
+        WITH q(query_id, term) AS (VALUES {vals}),
+        d AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS dl,
+                string_split_regex(trim(text), '\s+') AS toks
+              FROM documents),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+        tf AS (SELECT doc_id, dl, t.tok AS term, count(*) AS tf
+               FROM d, unnest(toks) t(tok)
+               WHERE t.tok IN (SELECT DISTINCT term FROM q)
+               GROUP BY doc_id, dl, t.tok),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        w AS (SELECT q.query_id, tf.doc_id,
+                ln(1.0 + ((CAST(n_docs AS DOUBLE) - df) + 0.5) / (df + 0.5))
+                * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS wgt
+              FROM tf JOIN dft USING (term) CROSS JOIN stats
+                      JOIN q ON q.term = tf.term),
+        s AS (SELECT query_id, doc_id, round(sum(wgt), 6) AS score,
+                     count(*) AS n_terms_hit FROM w GROUP BY query_id, doc_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) AS rank FROM s)
+        SELECT query_id, doc_id, score, n_terms_hit, rank
+        FROM r WHERE rank <= 10
+        ORDER BY query_id, rank
     """
 
 

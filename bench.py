@@ -287,6 +287,7 @@ def run_headline(spark, sf_dir: str) -> dict:
         "polyfill_fleet_mixed",
         "polyfill_fleet_df",
         "curation_pipeline",
+        "bm25_topk",
     ]:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []

@@ -21,6 +21,7 @@ __all__ = [
     "hex7_k_ring",
     "hex7_neighbors",
     "hex7_parent",
+    "hex7_children",
     "hex7_resolution",
     "hex7_face",
     "hex7_token",
@@ -110,6 +111,26 @@ def hex7_parent(cell: Column, parent_res: int) -> Column:
     return (
         out.bitwiseAND(F.lit(~res_mask).cast("long"))
         .bitwiseOR(F.lit(parent_res << H._RES_SHIFT).cast("long"))
+    )
+
+
+def hex7_children(cell: Column, res: int) -> Column:
+    """Array of the 7 aperture-7 children of a resolution-``res`` cell
+    (GBT digit append — EXACT in lattice space, kernel/hex7.py header).
+    Pure bitwise int64 column math: clear the level-(res+1) digit slot
+    from the 7 filler, write each digit 0-6, bump the res field.
+    ``res`` is the PARENT resolution (a Python int — callers iterate
+    per-level, as hex7_compact/hex7_uncompact do)."""
+    shift = H._DIG_SHIFT(res + 1)
+    res_mask = 0xF << H._RES_SHIFT
+    base = (
+        cell.bitwiseAND(F.lit(~(7 << shift)).cast("long"))
+        .bitwiseAND(F.lit(~res_mask).cast("long"))
+        .bitwiseOR(F.lit((res + 1) << H._RES_SHIFT).cast("long"))
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(6)),
+        lambda d: base.bitwiseOR(F.shiftleft(d.cast("long"), shift)),
     )
 
 

@@ -1,0 +1,140 @@
+"""BM25 lexical ranking over web-scale document tables.
+
+The retrieval step of a crawl-curation / RAG-indexing pipeline: score
+every document against a (small) set of keyword queries with BM25
+(Robertson/Spärck Jones; the Lucene-style positive idf variant
+``ln(1 + (N - df + 0.5)/(df + 0.5))``) and keep the top-k documents
+per query. The reference repo has no text-retrieval surface — this is
+an engine-level operator (SURVEY.md §2.7 family), designed
+Spark-first:
+
+- the query-term table is broadcast and applied as a ``left_semi``
+  join on the exploded token stream BEFORE any aggregation, so only
+  postings for query terms ever shuffle — at 10^12 documents the
+  shuffled volume is O(matching postings), not O(corpus tokens);
+- document length is a pure column expression (no explode needed);
+- corpus stats (N, total token count) reduce to ONE row and re-enter
+  as a broadcast nested-loop join of a 1-row side (a literal-feed,
+  not a data-scale cartesian);
+- avgdl is derived as exact-integer ``sum(dl)/N`` — never a running
+  float mean — so both engines divide the same two integers and the
+  per-posting weight is a bit-identical IEEE expression tree;
+- per-(query, doc) scores sum at most ``len(terms)`` positive weights
+  and are rounded to 6 decimals BEFORE ranking, so association order
+  cannot flip a rank on either side; ties break on doc id.
+
+Everything is JVM column math — no Python UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents per query by BM25.
+
+    ``docs``: the corpus (``id_col``, ``text_col``). ``queries``: a
+    SMALL table (``query_col``, ``term_col``) — one row per query
+    term; it is broadcast twice (semi-join prune + query attach).
+    Returns (query_id, doc_id, score, n_terms_hit, rank) with
+    ``rank <= k``; ``score`` is rounded to 6 decimals and ``rank``
+    breaks score ties on ascending doc id, so the result is
+    deterministic under any partitioning.
+
+    Scale shape: one shuffle on (doc, term) postings restricted to
+    query terms, one tiny df-per-term aggregate, one shuffle on
+    (query, doc) partials, one per-query window. Skewed stop-word-like
+    query terms fan out across partitions in the posting aggregate's
+    partial (map-side combine) phase.
+    """
+    qterms = queries.select(query_col, term_col)
+    d = docs.select(
+        F.col(id_col).alias("_doc"),
+        token_count(F.col(text_col)).alias("_dl"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+
+    # N and sum(dl) in one pass; avgdl stays an exact integer ratio.
+    stats = d.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+    )
+
+    # Postings restricted to query terms BEFORE the (doc, term) agg.
+    tf = (
+        d.select("_doc", "_dl", F.explode("_toks").alias("_term"))
+        .join(
+            F.broadcast(qterms.select(F.col(term_col).alias("_term")).distinct()),
+            "_term",
+            "left_semi",
+        )
+        .groupBy("_doc", "_dl", "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+
+    # Document frequency per query term: at most |distinct terms| rows
+    # (tf is already one row per (doc, term), so a plain count is the
+    # distinct-doc count without an Expand pass).
+    df_t = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+
+    n = F.col("_n_docs").cast("double")
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (n - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    w = idf * (
+        F.col("_tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("_tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)
+        )
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), "_term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_w", w)
+        .join(
+            F.broadcast(qterms.withColumnRenamed(term_col, "_term")),
+            "_term",
+        )
+        .groupBy(query_col, "_doc")
+        .agg(
+            F.round(F.sum("_w"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+
+    rank_w = Window.partitionBy(query_col).orderBy(
+        F.col("score").desc(), F.col("_doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_col,
+            F.col("_doc").alias(id_col),
+            "score",
+            "n_terms_hit",
+            "rank",
+        )
+    )
