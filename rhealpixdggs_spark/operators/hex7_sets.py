@@ -53,12 +53,16 @@ def hex7_compact(
     done = 0
     for r in range(int(max_res), 0, -1):
         at_r = out.where(hex7_resolution(F.col("cell")) == r)
+        # Eagerly materialize the (small) complete-parent set: it is
+        # consumed twice per level (emptiness probe + anti-join) and
+        # would otherwise re-run the level's groupBy — and everything
+        # upstream of it — both times.
         parents = (
             at_r.groupBy(hex7_parent(F.col("cell"), r - 1).alias("parent"))
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") == 7)
             .select("parent")
-        )
+        ).localCheckpoint(eager=True)
         if parents.isEmpty():
             continue
         survivors = at_r.join(
@@ -91,18 +95,24 @@ def hex7_uncompact(
     error in H3's uncompact and raise here too (cheap metadata check
     folded into the same 1-row aggregate)."""
     out = cells.select(F.col(cell_col).alias("cell")).distinct()
-    max_res = out.agg(F.max(hex7_resolution(F.col("cell")))).collect()[0][0]
-    if max_res is None:
+    # One scalar job bounds the loop on BOTH ends (no per-level
+    # emptiness probes — each would re-run the growing union plan).
+    lo, hi = (
+        out.agg(
+            F.min(hex7_resolution(F.col("cell"))),
+            F.max(hex7_resolution(F.col("cell"))),
+        )
+        .collect()[0]
+    )
+    if hi is None:
         return out
-    if int(max_res) > target_res:
+    if int(hi) > target_res:
         raise ValueError(
             f"uncompact target res {target_res} is coarser than the finest "
-            f"input cell (res {int(max_res)})"
+            f"input cell (res {int(hi)})"
         )
-    for r in range(0, target_res):
+    for r in range(int(lo), target_res):
         coarse = out.where(hex7_resolution(F.col("cell")) == r)
-        if coarse.isEmpty():
-            continue
         out = out.where(hex7_resolution(F.col("cell")) != r).unionByName(
             coarse.select(
                 F.explode(hex7_children(F.col("cell"), r)).alias("cell")

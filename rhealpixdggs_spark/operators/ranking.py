@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count, tokens
+from ..functions.text import tokens
 
 __all__ = ["bm25_topk"]
 
@@ -60,15 +60,27 @@ def bm25_topk(
 
     Scale shape: one shuffle on (doc, term) postings restricted to
     query terms, one tiny df-per-term aggregate, one shuffle on
-    (query, doc) partials, one per-query window. Skewed stop-word-like
-    query terms fan out across partitions in the posting aggregate's
-    partial (map-side combine) phase.
+    (query, doc) partials, then a TWO-PHASE top-k (per-bucket partial
+    window at defaultParallelism, final window over <= k * n_buckets
+    survivors per query) so few-query/huge-corpus workloads never
+    funnel the scored corpus through #queries partitions. Skewed
+    stop-word-like query terms fan out across partitions in the
+    posting aggregate's partial (map-side combine) phase.
     """
     qterms = queries.select(query_col, term_col)
+    # One regex split per document: _dl derives from the same _toks
+    # array (token_count(text) would re-split). Semantics identical to
+    # functions.text.token_count incl. the empty-text -> 0 case.
     d = docs.select(
         F.col(id_col).alias("_doc"),
-        token_count(F.col(text_col)).alias("_dl"),
+        F.col(text_col).alias("_text"),
         tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "_doc",
+        F.when(F.length(F.trim("_text")) == 0, F.lit(0))
+        .otherwise(F.size("_toks"))
+        .alias("_dl"),
+        "_toks",
     )
 
     # N and sum(dl) in one pass; avgdl stays an exact integer ratio.
@@ -78,6 +90,12 @@ def bm25_topk(
     )
 
     # Postings restricted to query terms BEFORE the (doc, term) agg.
+    # Cached (lazily): the broadcast materialization of df_t below is
+    # its own Spark job, so without the cache the corpus-wide
+    # tokenize+explode+aggregate would run TWICE per query — measured
+    # at ~2x the whole operator's cost on a 500k-doc corpus
+    # (BENCH/retrieval_scale.json). The cached set is the PRUNED
+    # posting list (query terms only), not the corpus.
     tf = (
         d.select("_doc", "_dl", F.explode("_toks").alias("_term"))
         .join(
@@ -87,6 +105,7 @@ def bm25_topk(
         )
         .groupBy("_doc", "_dl", "_term")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        .cache()
     )
 
     # Document frequency per query term: at most |distinct terms| rows
@@ -124,11 +143,30 @@ def bm25_topk(
         )
     )
 
+    # Two-phase top-k: a single per-query window has parallelism =
+    # #queries — at web scale each query partition would hold the whole
+    # scored corpus. Phase 1 keeps the top-k of each deterministic
+    # doc-hash bucket (parallelism = defaultParallelism), phase 2 ranks
+    # the surviving <= k * n_buckets rows per query. Every bucket
+    # contributes its own best k, so the global top-k is a subset of
+    # the survivors and the result is EXACTLY the single-window answer
+    # for any bucket count (ties break on doc id in both phases).
+    n_buckets = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
+    bucket = F.pmod(F.xxhash64(F.col("_doc")), F.lit(n_buckets))
+    w1 = Window.partitionBy(query_col, "_bkt").orderBy(
+        F.col("score").desc(), F.col("_doc").asc()
+    )
+    survivors = (
+        scored.withColumn("_bkt", bucket)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_bkt", "_r1")
+    )
     rank_w = Window.partitionBy(query_col).orderBy(
         F.col("score").desc(), F.col("_doc").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(rank_w))
+        survivors.withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
         .select(
             query_col,
