@@ -1360,6 +1360,92 @@ def _near_dup_lsh_oracle_sql(dim=64, n_bits=16, bands=4, seed=42):
     """
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup) on the
+    planted near-dup fixture: the seed-7 4-centroid codebook (the
+    same coarse quantizer ivf_topk uses) clusters the vectors, and
+    inside each cluster every vector whose cosine to a higher-ranked
+    member (rank = centroid-cosine ASC, id ASC) reaches 0.999 is
+    pruned — the planted x2-scaled copies tie their originals on
+    centroid cosine exactly (power-of-2 scaling is exact in IEEE
+    doubles), rank after them, see prior cosine 1.0, and drop. The
+    oracle re-derives codebook literals, assignment, rank window and
+    the within-cluster prior-max in SQL."""
+    from rhealpixdggs_spark.operators.dedup import semantic_dedup
+    from rhealpixdggs_spark.operators.similarity import ivf_codebook
+
+    cents = ivf_codebook(dim=64, k=4, seed=7)
+    out = semantic_dedup(
+        _emb_with_near_dups(spark, sf_dir), centroids=cents, threshold=0.999
+    )
+    return out.select(
+        "id",
+        "cluster",
+        "ccos",
+        "c_rank",
+        "max_prior_cos",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def _semantic_dedup_oracle_sql(dim=64, n_cent=4, seed=7, threshold="0.999e0"):
+    """DuckDB twin of dedup.semantic_dedup on the near-dup fixture:
+    same seed-7 codebook literals, first-occurrence argmax assignment
+    (list_position + list_max, as _ivf_topk_oracle_sql), centroid
+    cosine picked out of the literal cosine list, rank window, then a
+    cluster equi-join restricted to lower-ranked partners for the
+    prior-max cosine. keep compares the UNROUNDED max (round is
+    display-only), matching the Spark side."""
+    from rhealpixdggs_spark.operators.similarity import ivf_codebook
+    from rhealpixdggs_spark.oracle_sql import _r
+
+    cents = ivf_codebook(dim=dim, k=n_cent, seed=seed)
+
+    def lst(p):
+        return "[" + ", ".join(_r(x) for x in p) + "]"
+
+    dots = "[" + ", ".join(f"list_dot_product(v, {lst(c)})" for c in cents) + "]"
+    ccos_list = (
+        "["
+        + ", ".join(
+            f"list_dot_product(v, {lst(c)})"
+            f" / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product({lst(c)}, {lst(c)})))"
+            for c in cents
+        )
+        + "]"
+    )
+    return f"""
+        WITH u AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(embedding::DOUBLE[], x -> x * 2.0e0) AS v
+          FROM embeddings WHERE vec_id % 10 = 0),
+        a AS MATERIALIZED (
+          SELECT vec_id AS id, v,
+                 list_position(dl, list_max(dl)) - 1 AS cluster,
+                 cl[list_position(dl, list_max(dl))] AS ccos
+          FROM (SELECT vec_id, v, {dots} AS dl, {ccos_list} AS cl FROM u)),
+        r AS MATERIALIZED (
+          SELECT id, v, cluster, ccos,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY ccos ASC, id ASC) AS c_rank
+          FROM a),
+        p AS (
+          SELECT x.id,
+                 max(list_dot_product(x.v, y.v)
+                     / (sqrt(list_dot_product(x.v, x.v))
+                        * sqrt(list_dot_product(y.v, y.v)))) AS mpc
+          FROM r x JOIN r y ON x.cluster = y.cluster
+                           AND y.c_rank < x.c_rank
+          GROUP BY x.id)
+        SELECT r.id, r.cluster, round(r.ccos, 6) AS ccos, r.c_rank,
+               round(p.mpc, 6) AS max_prior_cos,
+               CAST(p.mpc IS NULL OR p.mpc < {threshold} AS INT) AS keep
+        FROM r LEFT JOIN p ON r.id = p.id
+    """
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     from rhealpixdggs_spark.operators.dedup import minhash_lsh_candidates
 
@@ -2591,10 +2677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail (all previously driver-green) stays value-checked every run
     by tests/test_entry_contract.py and tools/zero_tolerance_audit.py.
     Round 5: IN near_dup_lsh + ann_recall + hex7_kdisk + polyfill_eq_df
-    + polygon_join_df + zone_tiles_df + hex7_compact + bm25_topk; OUT
-    eight r3+r4 double-greens (curation_pipeline, doc_chunks,
-    near_dedup_keep, pii_redaction, decontamination,
-    repetition_signals, corpus_sample, dedup_components)."""
+    + polygon_join_df + zone_tiles_df + hex7_compact + bm25_topk +
+    semantic_dedup; OUT nine r3+r4 double-greens (curation_pipeline,
+    doc_chunks, near_dedup_keep, pii_redaction, decontamination,
+    repetition_signals, corpus_sample, dedup_components,
+    source_rollup)."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -2616,7 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill": _q_polyfill,
         "polyfill_dateline": _q_polyfill_dateline,
         "kring_sizes": _q_kring_sizes,
-        "source_rollup": _q_source_rollup,
+        "semantic_dedup": _q_semantic_dedup,
         "url_canonical": _q_url_canonical,
         "region_cover_ell": _q_region_cover_ell,
         "ann_quantized": _q_ann_quantized,
@@ -2649,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_eq_df": _q_polyfill_eq_df,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "source_rollup": _q_source_rollup,
         "corpus_sample": _q_corpus_sample,
         "dedup_components": _q_dedup_components,
         "repetition_signals": _q_repetition_signals,
@@ -4104,6 +4192,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized": _ann_quantized_oracle_sql(),
         "near_dup_lsh": _near_dup_lsh_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         # polyfill_eq_df is the DataFrame-native fleet running the
         # SAME geometry as polyfill_eq; its independent SQL
         # re-derivation is identical by construction.

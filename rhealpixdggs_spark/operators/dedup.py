@@ -323,6 +323,74 @@ def embedding_near_pairs_lsh(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer,
+    then inside each cluster prune every vector whose cosine to ANY
+    higher-ranked cluster member reaches `threshold`. Rank within a
+    cluster is (cosine-to-centroid ASC, id ASC) — the member farthest
+    from the centroid is kept first, matching the paper's
+    keep-low-centroid-similarity policy; exact scaled duplicates tie
+    on centroid cosine and break to the lower id.
+
+    Plan shape, chosen for 100 TB: assignment is the JVM argmax over
+    broadcast centroid literals (similarity.ivf_assign_expr — the
+    same coarse quantizer as IVF search, so one codebook serves both
+    retrieval and dedup); the only shuffle keys are `cluster` (rank
+    window + candidate self-join) and `id` (vector re-attach). The
+    within-cluster pair stage is an EQUI-join on cluster — quadratic
+    only in cluster size, which the operator of a 100-TB corpus
+    bounds by scaling k with N (SemDeDup uses k ~ sqrt(N); Lloyd
+    training via similarity.ivf_train). No nested-loop / cartesian
+    stage anywhere (plan-pinned in tests/test_plan_shapes.py).
+
+    Returns one row per input vector:
+    (id, cluster, ccos, c_rank, max_prior_cos, keep) where
+    `max_prior_cos` is NULL for each cluster's rank-1 member and
+    `keep = max_prior_cos is null or max_prior_cos < threshold`.
+    """
+    from .similarity import cosine_expr, ivf_assign_expr, norm_expr, _lit_arr
+
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("cluster", ivf_assign_expr(F.col("v"), centroids))
+    # cosine to the assigned centroid: pick the assigned centroid's
+    # dot/norm out of literal arrays (no second pass, no UDF)
+    dots = F.array(*[cosine_expr(F.col("v"), _lit_arr(c)) for c in centroids])
+    v = v.withColumn("ccos", F.element_at(dots, F.col("cluster") + 1))
+    w = Window.partitionBy("cluster").orderBy(F.asc("ccos"), F.asc("id"))
+    ranked = v.withColumn("c_rank", F.row_number().over(w))
+    a = ranked.select("id", "cluster", F.col("c_rank").alias("rank_a"), "v")
+    b = ranked.select(
+        F.col("id").alias("id_b"),
+        "cluster",
+        F.col("c_rank").alias("rank_b"),
+        F.col("v").alias("v_b"),
+    )
+    prior = (
+        a.join(b, "cluster")
+        .where(F.col("rank_b") < F.col("rank_a"))
+        .groupBy("id")
+        .agg(F.max(cosine_expr(F.col("v"), F.col("v_b"))).alias("mpc"))
+    )
+    out = ranked.join(prior, "id", "left")
+    return out.select(
+        "id",
+        "cluster",
+        F.round("ccos", 6).alias("ccos"),
+        "c_rank",
+        F.round("mpc", 6).alias("max_prior_cos"),
+        (F.col("mpc").isNull() | (F.col("mpc") < threshold)).alias("keep"),
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     width: int = 8,

@@ -1250,27 +1250,30 @@ def polyfill_many(
             cfg, res, F.col("face"), F.col("fi"), F.col("fj")
         )
         keyed = keyed.unionByName(gj.select("zone", idxc.alias("_idx")))
-    # Explicit fan-out before the Gauss-Legendre centroid pass: the
-    # distinct() output is only a few MB, so AQE's BYTE-based
-    # coalescing folds it into one task — but the downstream cost is
-    # ~1.75 ms/row of Python COMPUTE (dart/skew GL integrals), which
-    # serialized on one core both slows the job ~cores-x and makes
-    # wall time hostage to single-task noise (the r4 bench's 6.4 s
-    # IQR; BENCH/fleet_mixed_attribution.json). Round-robin with an
-    # explicit count: hash-repartitioning on (zone, _idx) would be
-    # ELIMINATED as redundant with the distinct's own Exchange (same
-    # keys) and the surviving ENSURE_REQUIREMENTS shuffle is exactly
-    # what AQE coalesces; the extra Exchange moves (zone, long) rows
-    # only.
+    # Explicit round-robin fan-out before the Gauss-Legendre centroid
+    # pass: the distinct() output is only a few MB, so AQE's
+    # BYTE-based coalescing would fold it into one task — but the
+    # downstream cost is ~1.75 ms/row of Python COMPUTE (dart/skew GL
+    # integrals), which serialized on one core both slows the job
+    # ~cores-x and makes wall time hostage to single-task noise (the
+    # r4 bench's 6.4 s IQR; BENCH/fleet_mixed_attribution.json).
+    # And decode each DISTINCT cell once, not once per (zone, cell)
+    # pair:
+    # cap-reaching zones SHARE the expensive polar dart/skew cells
+    # (the ~1.75 ms/row GL integrals), and band zones share quad
+    # cells wherever bboxes overlap, so the GL pass runs on the
+    # distinct-cell set and pairs re-attach by the 8-byte _idx
+    # equi-join (AQE broadcasts the small cell table). Same pattern
+    # as polyfill_many_df; ~1.9x on the 100k-triangle fleet bench.
     fanout = keyed.sparkSession.sparkContext.defaultParallelism
-    cand = (
-        keyed
+    cells = (
+        keyed.select("_idx")
         .distinct()
         .repartition(fanout)
-        .select("zone", idx_to_suid(F.col("_idx")).alias("tile_id"))
+        .select("_idx", idx_to_suid(F.col("_idx")).alias("tile_id"))
+        .withColumn("_c", rhp_centroid(F.col("tile_id"), cfg, plane=False))
     )
-    c = rhp_centroid(F.col("tile_id"), cfg, plane=False)
-    cand = cand.withColumn("_c", c)
+    cand = keyed.distinct().join(cells, "_idx").select("zone", "tile_id", "_c")
 
     @pandas_udf(T.BooleanType())
     def _in_zone(zo: pd.Series, lo: pd.Series, la: pd.Series) -> pd.Series:
@@ -1660,19 +1663,29 @@ def polyfill_many_df(
         )
         return pd.Series(KC.suid_strings(face_a, digits), index=ix.index)
 
-    # same explicit round-robin fan-out as polyfill_many: keep AQE
-    # from serializing the compute-heavy GL centroid pass onto one
-    # task (hash keys would dedupe against the distinct's Exchange)
+    # Decode each DISTINCT cell once, not once per (zone, cell) pair:
+    # overlapping fleets share cells, so the candidate pair table is
+    # usually many times larger than the distinct-cell set (100k
+    # bench triangles: 1.5M pairs, 486 res-2 cells). The expensive
+    # Arrow GL centroid pass runs on the distinct cells only; pairs
+    # re-attach by the 8-byte _idx equi-join (AQE broadcasts the cell
+    # table when it is small). Round-robin fan-out keeps AQE from
+    # serializing the compute-heavy GL pass onto one task (hash keys
+    # would dedupe against the distinct's Exchange), same as
+    # polyfill_many.
     fanout = keyed.sparkSession.sparkContext.defaultParallelism
-    cand = (
-        keyed.distinct()
+    cells = (
+        keyed.select("_idx").distinct()
         .repartition(fanout)
-        .select("zone", idx_to_suid(F.col("_idx")).alias("tile_id"))
+        .select("_idx", idx_to_suid(F.col("_idx")).alias("tile_id"))
         .withColumn("_c", rhp_centroid(F.col("tile_id"), cfg, plane=False))
         .select(
-            "zone", "tile_id",
+            "_idx", "tile_id",
             F.col("_c")["lon"].alias("cx"), F.col("_c")["lat"].alias("cy"),
         )
+    )
+    cand = keyed.distinct().join(cells, "_idx").select(
+        "zone", "tile_id", "cx", "cy"
     )
 
     # Relational even-odd on the candidate CENTROIDS (shared helpers;

@@ -315,6 +315,61 @@ class TestDedupText:
         assert planted_pairs  # fixture really plants scaled copies
         assert planted_pairs <= set(lsh)  # exact dups never missed
 
+    def test_semantic_dedup_matches_numpy_and_prunes_planted(
+        self, spark, sf_dir
+    ):
+        """semantic_dedup vs an independent NumPy re-implementation of
+        SemDeDup (assign -> rank by centroid-cos -> prior-max prune):
+        identical keep sets, and every planted scaled copy is pruned
+        while its lower-id original survives."""
+        import numpy as np
+
+        from rhealpixdggs_spark.operators.dedup import semantic_dedup
+        from rhealpixdggs_spark.operators.similarity import ivf_codebook
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        planted = emb.where(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+        du = emb.unionByName(planted)
+        cents = ivf_codebook(dim=64, k=4, seed=7)
+        rows = semantic_dedup(du, cents, threshold=0.999).collect()
+
+        pdf = du.toPandas()
+        ids = pdf["vec_id"].to_numpy()
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        C = np.asarray(cents)
+        dots = V @ C.T
+        cluster = dots.argmax(axis=1)
+        ccos = dots[np.arange(len(V)), cluster] / (
+            np.linalg.norm(V, axis=1) * np.linalg.norm(C, axis=1)[cluster]
+        )
+        keep_np = {}
+        for c in np.unique(cluster):
+            m = np.where(cluster == c)[0]
+            order = m[np.lexsort((ids[m], ccos[m]))]
+            for pos, i in enumerate(order):
+                if pos == 0:
+                    keep_np[ids[i]] = True
+                    continue
+                prev = order[:pos]
+                cos = (V[prev] @ V[i]) / (
+                    np.linalg.norm(V[prev], axis=1) * np.linalg.norm(V[i])
+                )
+                keep_np[ids[i]] = bool(cos.max() < 0.999)
+        keep_spark = {r.id: r.keep for r in rows}
+        assert keep_spark == keep_np
+        originals = set(ids[ids < 100000][(ids[ids < 100000]) % 7 == 0])
+        for o in originals:
+            assert keep_spark[o], o
+            assert not keep_spark[o + 100000], o
+
     def test_minhash_lsh_finds_exact_dups(self, spark, sf_dir):
         docs = self._docs(spark, sf_dir).limit(60)
         dup = docs.unionByName(
