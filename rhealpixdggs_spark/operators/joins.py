@@ -639,9 +639,15 @@ def polygon_join_df(
         resolve_fleet_vertices,
     )
 
+    # resolved feeds both the candidate spans and the even-odd edge
+    # table; persist() — lazily — so the collect_list + Arrow
+    # dateline-split + explode runs once per action, not twice (same
+    # as polyfill_many_df). Input-sized; MEMORY_AND_DISK spills.
+    from pyspark import StorageLevel
+
     resolved = resolve_fleet_vertices(
         polygons, cfg, split_dateline, "polygon_join_df"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = fleet_candidate_idx(resolved, cfg, res).distinct()
 
     enc = points.select(

@@ -1651,9 +1651,16 @@ def polyfill_many_df(
     if partitions:
         polygons = polygons.repartition(partitions, "zone", "part")
 
+    # resolved feeds THREE consumers (candidate spans, the distinct-
+    # cell decode, and the even-odd edge table); persist() — lazily —
+    # so the collect_list + Arrow dateline-split + explode runs once
+    # per action, not three times. The vertex table is the operator's
+    # own input size; MEMORY_AND_DISK spills rather than OOMs.
+    from pyspark import StorageLevel
+
     resolved = resolve_fleet_vertices(
         polygons, cfg, split_dateline, "polyfill_many_df"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keyed = fleet_candidate_idx(resolved, cfg, res)
 
     @pandas_udf(T.StringType())
@@ -1673,9 +1680,16 @@ def polyfill_many_df(
     # serializing the compute-heavy GL pass onto one task (hash keys
     # would dedupe against the distinct's Exchange), same as
     # polyfill_many.
+    # The pair table feeds BOTH branches (distinct cells for the
+    # decode, pairs for the re-attach join); persist() it — lazily —
+    # so the dateline-resolve + candidate-generation lineage runs
+    # ONCE per action instead of twice. The cached table is (zone,
+    # int64) pairs, bounded by the operator's own output size, and
+    # MEMORY_AND_DISK spills rather than OOMs on huge fleets.
+    pairs = keyed.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     fanout = keyed.sparkSession.sparkContext.defaultParallelism
     cells = (
-        keyed.select("_idx").distinct()
+        pairs.select("_idx").distinct()
         .repartition(fanout)
         .select("_idx", idx_to_suid(F.col("_idx")).alias("tile_id"))
         .withColumn("_c", rhp_centroid(F.col("tile_id"), cfg, plane=False))
@@ -1684,9 +1698,7 @@ def polyfill_many_df(
             F.col("_c")["lon"].alias("cx"), F.col("_c")["lat"].alias("cy"),
         )
     )
-    cand = keyed.distinct().join(cells, "_idx").select(
-        "zone", "tile_id", "cx", "cy"
-    )
+    cand = pairs.join(cells, "_idx").select("zone", "tile_id", "cx", "cy")
 
     # Relational even-odd on the candidate CENTROIDS (shared helpers;
     # the edge table's duplicated closing vertices only add degenerate

@@ -556,17 +556,31 @@ class TestCentroidFanout:
         assert "RoundRobinPartitioning" in plan
 
     def test_polyfill_many_centroid_stage_runs_wide(self, spark):
+        """The GL centroid decode now runs on the distinct-cell set
+        BEFORE a re-attach join, so the output's partition ids no
+        longer read the decode stage — probe the decode-stage input
+        directly (same construction the operators use): the pinned
+        round-robin must spread the byte-tiny distinct() output
+        across >1 task despite AQE's byte-based coalescing."""
         from pyspark.sql import functions as F
 
-        from rhealpixdggs_spark.operators.tiling import polyfill_many
+        from rhealpixdggs_spark.operators.tiling import (
+            WGS84_003,
+            fleet_candidate_idx,
+            polygons_to_df,
+            resolve_fleet_vertices,
+        )
 
-        out = polyfill_many(spark, self._fleet(spark), 3)
-        # spark_partition_id at the output reads the stage the
-        # centroid decode ran in (no exchange after the fan-out);
-        # with defaultParallelism cores and >> that many candidate
-        # rows, a healthy round-robin spread must use more than one.
+        vt = polygons_to_df(spark, self._fleet(spark))
+        resolved = resolve_fleet_vertices(vt, WGS84_003, None, "t")
+        keyed = fleet_candidate_idx(resolved, WGS84_003, 3)
+        cells = (
+            keyed.select("_idx")
+            .distinct()
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
         used = (
-            out.withColumn("_pid", F.spark_partition_id())
+            cells.withColumn("_pid", F.spark_partition_id())
             .select("_pid")
             .distinct()
             .count()
