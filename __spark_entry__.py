@@ -1446,6 +1446,105 @@ def _semantic_dedup_oracle_sql(dim=64, n_cent=4, seed=7, threshold="0.999e0"):
     """
 
 
+def _q_ivf_train_assign(spark, sf_dir):
+    """Bit-reproducible Lloyd TRAINING gate (similarity.
+    ivf_train_exact): two k-means iterations from the seed-7 codebook
+    over int64-quantized embeddings — integer per-(cluster, dim) sums
+    are exact and order-independent, so the trained centroids and the
+    final assignment are bit-identical across engines, unlike float
+    avg. Returns each vector's final cluster and its dot product with
+    the trained centroid; the oracle unrolls the same two iterations
+    in SQL (quantize -> literal-codebook assign -> integer sums ->
+    one double division -> reassign)."""
+    from rhealpixdggs_spark.operators.similarity import (
+        ivf_dots_expr,
+        ivf_train_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, out = ivf_train_exact(emb, dim=64, k=4, iters=2)
+    s = float(1 << 20)
+    v = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * s).cast("long").cast("double") / s,
+    )
+    dots = ivf_dots_expr(v, cents)
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.round(F.element_at(dots, F.col("cluster") + 1), 6).alias("cdot"),
+    )
+
+
+def _ivf_train_assign_oracle_sql(dim=64, k=4, iters=2, seed=7, scale_bits=20):
+    """DuckDB twin of ivf_train_exact: the same seed-7 codebook
+    literals start the loop; each unrolled iteration assigns by
+    first-occurrence argmax over the dot list (list_position +
+    list_max, ordered by cluster id — identical tie-break to Spark's
+    array_position), accumulates per-(cluster, dim) BIGINT sums of
+    the quantized coordinates (exact, order-independent), and forms
+    means with the single division sum / (n * 2^scale_bits); empty
+    clusters COALESCE to the previous iteration's centroid."""
+    from rhealpixdggs_spark.operators.similarity import ivf_codebook
+    from rhealpixdggs_spark.oracle_sql import _r
+
+    s = float(1 << scale_bits)
+    cents = ivf_codebook(dim=dim, k=k, seed=seed)
+
+    def lst(p):
+        return "[" + ", ".join(_r(x) for x in p) + "]"
+
+    lit_dots = "[" + ", ".join(f"list_dot_product(v, {lst(c)})" for c in cents) + "]"
+    cents_rows = " UNION ALL ".join(
+        f"SELECT {c} AS c, {lst(cent)}::DOUBLE[] AS cent"
+        for c, cent in enumerate(cents)
+    )
+    ctes = [
+        f"""q AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(round(x * {s!r}) AS BIGINT)) AS qv
+          FROM embeddings),
+        v AS MATERIALIZED (
+          SELECT vec_id, qv,
+                 list_transform(qv, x -> CAST(x AS DOUBLE) / {s!r}) AS v
+          FROM q),
+        c0f AS ({cents_rows}),
+        a0 AS MATERIALIZED (
+          SELECT vec_id, list_position(dl, list_max(dl)) - 1 AS c
+          FROM (SELECT vec_id, {lit_dots} AS dl FROM v))"""
+    ]
+    for i in range(1, iters + 1):
+        prev_a, prev_c = f"a{i - 1}", f"c{i - 1}f"
+        ctes.append(
+            f"""m{i} AS (
+          SELECT {prev_a}.c, t.i, sum(v.qv[t.i]) AS sl, count(*) AS n
+          FROM {prev_a} JOIN v USING (vec_id)
+               CROSS JOIN range(1, {dim + 1}) t(i)
+          GROUP BY {prev_a}.c, t.i),
+        c{i} AS (
+          SELECT c, list(CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * {s!r})
+                         ORDER BY i) AS cent
+          FROM m{i} GROUP BY c),
+        c{i}f AS (
+          SELECT p.c, COALESCE(c{i}.cent, p.cent) AS cent
+          FROM {prev_c} p LEFT JOIN c{i} ON c{i}.c = p.c),
+        d{i} AS (
+          SELECT v.vec_id,
+                 list(list_dot_product(v.v, f.cent) ORDER BY f.c) AS dl
+          FROM v CROSS JOIN c{i}f f GROUP BY v.vec_id),
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, list_position(dl, list_max(dl)) - 1 AS c,
+                 dl[list_position(dl, list_max(dl))] AS best
+          FROM d{i})"""
+        )
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT vec_id, c AS cluster, round(best, 6) AS cdot
+        FROM a{iters}
+    """
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     from rhealpixdggs_spark.operators.dedup import minhash_lsh_candidates
 
@@ -2678,10 +2777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by tests/test_entry_contract.py and tools/zero_tolerance_audit.py.
     Round 5: IN near_dup_lsh + ann_recall + hex7_kdisk + polyfill_eq_df
     + polygon_join_df + zone_tiles_df + hex7_compact + bm25_topk +
-    semantic_dedup; OUT nine r3+r4 double-greens (curation_pipeline,
-    doc_chunks, near_dedup_keep, pii_redaction, decontamination,
-    repetition_signals, corpus_sample, dedup_components,
-    source_rollup)."""
+    semantic_dedup + ivf_train_assign; OUT ten r3+r4 double-greens
+    (curation_pipeline, doc_chunks, near_dedup_keep, pii_redaction,
+    decontamination, repetition_signals, corpus_sample,
+    dedup_components, source_rollup, span_dedup)."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -2689,7 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_from_poly": _q_zone_from_poly,
         "kring_interior": _q_kring_interior,
         "linetrace_many": _q_linetrace_many,
-        "span_dedup": _q_span_dedup,
+        "ivf_train_assign": _q_ivf_train_assign,
         "streaming_geo_counts": _q_streaming_geo_counts,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "neighbors": _q_neighbors,
@@ -2736,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_eq_df": _q_polyfill_eq_df,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "span_dedup": _q_span_dedup,
         "source_rollup": _q_source_rollup,
         "corpus_sample": _q_corpus_sample,
         "dedup_components": _q_dedup_components,
@@ -4193,6 +4293,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_lsh": _near_dup_lsh_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "ivf_train_assign": _ivf_train_assign_oracle_sql(),
         # polyfill_eq_df is the DataFrame-native fleet running the
         # SAME geometry as polyfill_eq; its independent SQL
         # re-derivation is identical by construction.

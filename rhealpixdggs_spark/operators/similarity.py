@@ -229,6 +229,61 @@ def ivf_train(
     return cents
 
 
+def ivf_train_exact(
+    df: DataFrame,
+    dim: int,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    scale_bits: int = 20,
+) -> tuple[list[list[float]], DataFrame]:
+    """Bit-REPRODUCIBLE Lloyd training: quantize each vector to
+    int64 at 2^scale_bits, accumulate per-(cluster, dimension) SUMS
+    as integers — exact and ORDER-INDEPENDENT, unlike float avg whose
+    partial-aggregation order varies run to run and engine to engine
+    — and form each mean with one double division
+    sum / (n * 2^scale_bits). Every float the loop touches is either
+    an exactly-representable quantized double (x = q / 2^scale_bits,
+    a power-of-2 scaling) or that single division, so the trained
+    centroids and the final assignment are bit-identical across
+    engines (the DuckDB oracle unrolls the same iterations in SQL).
+    Quantization at 20 bits costs ~1e-6 per coordinate — noise
+    relative to k-means convergence; it buys deterministic
+    distributed training (retrainable audit trails, reproducible
+    partition layouts for ivf_write_partitioned).
+
+    Per iteration: one JVM argmax assignment pass + one integer-sum
+    aggregation whose driver materialization is the k x dim stats
+    table (model-sized). Empty clusters keep their previous centroid.
+    Returns (centroids, assignment DataFrame (id columns of `df`,
+    cluster))."""
+    s = float(1 << scale_bits)
+    cents = ivf_codebook(dim, k, seed)
+    q = df.withColumn(
+        "_q",
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * s).cast("long")
+        ),
+    ).withColumn("_v", F.transform("_q", lambda x: x.cast("double") / s))
+    for _ in range(iters):
+        assigned = q.withColumn("_c", ivf_assign_expr(F.col("_v"), cents))
+        stats = (
+            assigned.select("_c", F.posexplode("_q").alias("_pos", "_x"))
+            .groupBy("_c", "_pos")
+            .agg(F.sum("_x").alias("_sl"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for row in stats:
+            new[row["_c"]][row["_pos"]] = row["_sl"] / (row["_n"] * s)
+        cents = new
+    out = q.withColumn("cluster", ivf_assign_expr(F.col("_v"), cents)).drop(
+        "_q", "_v"
+    )
+    return cents, out
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1160,6 +1160,58 @@ class TestIVF:
             F.col("embedding").alias("q_embedding"),
         )
 
+    def test_ivf_train_exact_matches_numpy_bitwise(self, spark, sf_dir):
+        """ivf_train_exact vs an independent NumPy re-implementation:
+        int64-quantized sums make Lloyd order-independent, so the
+        trained centroids must be BIT-identical (==, not allclose)
+        and the assignments equal."""
+        import numpy as np
+
+        from rhealpixdggs_spark.operators.similarity import (
+            ivf_codebook,
+            ivf_train_exact,
+        )
+
+        emb = self._emb(spark, sf_dir)
+        cents, out = ivf_train_exact(emb, dim=64, k=4, iters=2)
+
+        pdf = emb.toPandas()
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        s = float(1 << 20)
+        # half-away-from-zero, matching Spark/DuckDB round (np.round
+        # is banker's rounding and breaks exact .5 ties differently)
+        Q = np.copysign(np.floor(np.abs(V * s) + 0.5), V).astype(np.int64)
+        Vq = Q.astype(np.float64) / s
+        C = np.asarray(ivf_codebook(64, 4, 7))
+
+        def seq_dots(M, cents_arr):
+            # left-to-right accumulation, matching Spark's aggregate
+            # fold order exactly (BLAS matmul reorders the sum)
+            d = np.zeros((len(M), len(cents_arr)))
+            for j in range(M.shape[1]):
+                d += M[:, j : j + 1] * cents_arr[:, j]
+            return d
+
+        for _ in range(2):
+            assign = seq_dots(Vq, C).argmax(axis=1)
+            new = C.copy()
+            for c in range(4):
+                m = assign == c
+                if m.any():
+                    # exact int sums, one double division per mean
+                    sl = Q[m].sum(axis=0)
+                    new[c] = np.array(
+                        [x / (int(m.sum()) * s) for x in sl.tolist()]
+                    )
+            C = new
+        assert [[float(x) for x in row] for row in C.tolist()] == [
+            [float(x) for x in row] for row in cents
+        ]
+        final = seq_dots(Vq, np.asarray(cents)).argmax(axis=1)
+        got = {r.vec_id: r.cluster for r in out.collect()}
+        want = dict(zip(pdf["vec_id"].tolist(), final.tolist()))
+        assert got == want
+
     def test_probe_all_cells_equals_brute(self, spark, sf_dir):
         """nprobe == k_centroids degenerates to the exact scan: every
         query probes every cell, so the result must equal brute-force
