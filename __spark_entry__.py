@@ -861,6 +861,107 @@ def _q_s2_encode(spark, sf_dir):
     ).orderBy("pid")
 
 
+def _q_geohash_cross_index(spark, sf_dir):
+    """Cross-index: rHEALPix + geohash ids per point, rolled up per
+    (rhp res-2 tile, 3-char geohash) with min(gh7) gating the full
+    7-char precision — the third cross-index family next to S2 and
+    hex7 (functions/geohash.py: closed-form axis indices + shift/mask
+    interleave, pure column math). The oracle re-derives the identical
+    arithmetic through staged CTEs."""
+    from rhealpixdggs_spark.functions.geohash import geohash_encode
+
+    pts = _points(spark, sf_dir)
+    enc = pts.select(
+        "pid",
+        rhp_encode(F.col("lon"), F.col("lat"), 9).alias("cell_id"),
+        geohash_encode(F.col("lon"), F.col("lat"), 7).alias("gh7"),
+    )
+    return enc.groupBy(
+        F.substring("cell_id", 1, 3).alias("tile_id"),
+        F.substring("gh7", 1, 3).alias("gh3"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.min("gh7").alias("gh_min"))
+
+
+def _geohash_cross_index_oracle_sql(precision=7) -> str:
+    """DuckDB twin: the geohash_sql_parts fragments chained through
+    CTEs (ix/iy -> interleave -> base32) joined against the pure-SQL
+    rhp encoder, grouped exactly as the Spark query."""
+    from rhealpixdggs_spark.functions.geohash import geohash_sql_parts
+
+    p = geohash_sql_parts(precision)
+    enc9 = rhp_encode_sql(ORDERS_POINTS_SQL, 9)
+    return f"""
+        WITH pts AS ({ORDERS_POINTS_SQL}),
+        i AS (SELECT pid, {p['ix']} AS ix, {p['iy']} AS iy FROM pts),
+        gg AS (SELECT pid, {p['g']} AS g FROM i),
+        gh AS MATERIALIZED (SELECT pid, {p['gh']} AS gh7 FROM gg),
+        rhp AS MATERIALIZED ({enc9})
+        SELECT substr(r.cell_id, 1, 3) AS tile_id,
+               substr(gh.gh7, 1, 3) AS gh3,
+               COUNT(*) AS n, min(gh.gh7) AS gh_min
+        FROM rhp r JOIN gh USING (pid)
+        GROUP BY 1, 2
+    """
+
+
+def _q_quality_score(spark, sf_dir):
+    """Model-serving gate: a linear bag-of-hashed-ngrams classifier
+    (the fastText architecture behind CCNet/RefinedWeb quality and
+    language filters) scored as pure column expressions
+    (text.hashed_linear_score) — lowercase unigrams + bigrams,
+    portable md5 bucket hash, literal weight array, mean-of-weights
+    score. Raw score (not sigmoid) keeps it bit-reproducible; keep =
+    score > 0. The oracle re-derives tokenize/bigram/hash/lookup/mean
+    with the same weight literals."""
+    from rhealpixdggs_spark.functions.text import (
+        classifier_weights,
+        hashed_linear_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    score = hashed_linear_score(
+        F.col("text"), classifier_weights(256, 13), hash_fn="md5"
+    )
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score > 0).cast("int").alias("keep"),
+    )
+
+
+def _quality_score_oracle_sql(dim=256, seed=13) -> str:
+    from rhealpixdggs_spark.functions.text import classifier_weights
+    from rhealpixdggs_spark.oracle_sql import _r
+
+    wl = "[" + ", ".join(_r(x) for x in classifier_weights(dim, seed)) + "]"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, trim(text) AS tt,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, tt,
+                 list_concat(toks,
+                   CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i+1])
+                   END) AS feats
+          FROM t),
+        s AS (
+          SELECT doc_id,
+                 CASE WHEN length(tt) = 0 THEN 0.0
+                      ELSE list_sum(list_transform(feats, x ->
+                             ({wl})[CAST(CAST('0x' || substr(md5(x), 1, 15)
+                                              AS BIGINT) % {dim} AS INT) + 1]))
+                           / len(feats)
+                 END AS score
+          FROM f)
+        SELECT doc_id, round(score, 6) AS score,
+               CAST(score > 0 AS INT) AS keep
+        FROM s
+    """
+
+
 def _q_minhash_sig(spark, sf_dir):
     """MinHash signatures under the SQL gate: hash_fn='md5' picks the
     portable 60-bit shingle hash the DuckDB oracle recomputes
@@ -2777,10 +2878,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by tests/test_entry_contract.py and tools/zero_tolerance_audit.py.
     Round 5: IN near_dup_lsh + ann_recall + hex7_kdisk + polyfill_eq_df
     + polygon_join_df + zone_tiles_df + hex7_compact + bm25_topk +
-    semantic_dedup + ivf_train_assign; OUT ten r3+r4 double-greens
+    semantic_dedup + ivf_train_assign + quality_score +
+    geohash_cross_index; OUT twelve r3+r4 double-greens
     (curation_pipeline, doc_chunks, near_dedup_keep, pii_redaction,
     decontamination, repetition_signals, corpus_sample,
-    dedup_components, source_rollup, span_dedup)."""
+    dedup_components, source_rollup, span_dedup, zone_union,
+    zone_intersect)."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -2797,8 +2900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "decode_all": _q_decode_all,
         "linetrace": _q_linetrace,
-        "zone_union": _q_zone_union,
-        "zone_intersect": _q_zone_intersect,
+        "quality_score": _q_quality_score,
+        "geohash_cross_index": _q_geohash_cross_index,
         "polyfill": _q_polyfill,
         "polyfill_dateline": _q_polyfill_dateline,
         "kring_sizes": _q_kring_sizes,
@@ -2835,6 +2938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_eq_df": _q_polyfill_eq_df,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "zone_union": _q_zone_union,
+        "zone_intersect": _q_zone_intersect,
         "span_dedup": _q_span_dedup,
         "source_rollup": _q_source_rollup,
         "corpus_sample": _q_corpus_sample,
@@ -4294,6 +4399,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "ivf_train_assign": _ivf_train_assign_oracle_sql(),
+        "quality_score": _quality_score_oracle_sql(),
+        "geohash_cross_index": _geohash_cross_index_oracle_sql(),
         # polyfill_eq_df is the DataFrame-native fleet running the
         # SAME geometry as polyfill_eq; its independent SQL
         # re-derivation is identical by construction.

@@ -230,3 +230,69 @@ def token_spans(text: Column, width: int) -> Column:
     return F.when(
         F.size(toks) < width, F.array().cast("array<string>")
     ).otherwise(spans)
+
+
+def classifier_weights(dim: int = 256, seed: int = 13) -> list[float]:
+    """Deterministic stand-in weight vector for the hashed linear
+    classifier — in production this is the trained model (a fastText
+    / CCNet-style quality or language filter reduces to exactly this
+    serving shape); the engine contract only needs the weights to be
+    reproducible literals both engines can embed."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).tolist()
+
+
+def hashed_linear_score(
+    text: Column, weights: list[float], hash_fn: str = "md5"
+) -> Column:
+    """Serve a linear bag-of-hashed-ngrams text classifier (the
+    fastText architecture that backs CCNet / RefinedWeb quality and
+    language filters) as PURE column expressions: lowercase tokens +
+    word bigrams -> portable 60-bit hash -> bucket = hash % len(
+    weights) -> score = mean of the bucket weights. Everything stays
+    in whole-stage codegen (transform/aggregate over the token array,
+    weights as a literal array — model-sized, like the IVF codebook),
+    so scoring 100 TB is one map-only pass fused into the scan; no
+    UDF, no Python, no shuffle.
+
+    The raw mean score is returned instead of its sigmoid: sigmoid is
+    monotone (thresholding is equivalent) and exp() is libm-dependent,
+    while +,*,/ make the score bit-reproducible for the DuckDB twin.
+    hash_fn='md5' is the portable oracle hash (md5 top-15-hex, the
+    dedup.md5_hash64 construction); 'xxhash64' is the scale default.
+    Empty documents score 0.0."""
+    d = len(weights)
+    toks = tokens(F.lower(F.trim(text)))
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.slice(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            1,
+            F.size(toks) - 1,
+        )
+    )
+    feats = F.concat(toks, bigrams)
+    if hash_fn == "md5":
+        def h(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    ws = F.transform(
+        feats,
+        lambda f: F.element_at(w, F.pmod(h(f), F.lit(d)).cast("int") + 1),
+    )
+    total = F.aggregate(ws, F.lit(0.0), lambda acc, v: acc + v)
+    n = F.size(feats)
+    return F.when(
+        F.length(F.trim(text)) == 0, F.lit(0.0)
+    ).otherwise(total / n)
