@@ -904,6 +904,52 @@ def _geohash_cross_index_oracle_sql(precision=7) -> str:
     """
 
 
+def _q_vocab_estimate(spark, sf_dir):
+    """Deterministic approximate-distinct gate (corpus.
+    sampled_distinct): per-lang vocabulary estimate via threshold
+    hashing (hash(token) % 16 == 0 samples the token everywhere it
+    occurs — no RNG, mergeable, and the pre-shuffle filter is the
+    100-TB win), joined against the exact distinct count so the
+    estimate quality is visible in the gated result itself. Spark's
+    approx_count_distinct (HLL++) cannot be oracle-gated across
+    engines; this estimator can, bit-for-bit."""
+    from rhealpixdggs_spark.functions.text import tokens
+    from rhealpixdggs_spark.operators.corpus import sampled_distinct
+
+    tk = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    est = sampled_distinct(tk, ["lang"], "tok", log2_rate=4, hash_fn="md5")
+    exact = tk.groupBy("lang").agg(
+        F.countDistinct("tok").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "lang").select(
+        "lang", "est_distinct", "n_sampled", "exact_distinct"
+    )
+
+
+def _vocab_estimate_oracle_sql(log2_rate=4) -> str:
+    r = 1 << log2_rate
+    return f"""
+        WITH tk AS MATERIALIZED (
+          SELECT lang,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents),
+        s AS (
+          SELECT lang,
+                 CAST(count(DISTINCT tok) * {r} AS BIGINT) AS est_distinct,
+                 CAST(count(DISTINCT tok) AS BIGINT) AS n_sampled
+          FROM tk
+          WHERE CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {r} = 0
+          GROUP BY lang),
+        x AS (
+          SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+          FROM tk GROUP BY lang)
+        SELECT s.lang, s.est_distinct, s.n_sampled, x.exact_distinct
+        FROM s JOIN x USING (lang)
+    """
+
+
 def _q_quality_score(spark, sf_dir):
     """Model-serving gate: a linear bag-of-hashed-ngrams classifier
     (the fastText architecture behind CCNet/RefinedWeb quality and
@@ -2879,11 +2925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 5: IN near_dup_lsh + ann_recall + hex7_kdisk + polyfill_eq_df
     + polygon_join_df + zone_tiles_df + hex7_compact + bm25_topk +
     semantic_dedup + ivf_train_assign + quality_score +
-    geohash_cross_index; OUT twelve r3+r4 double-greens
-    (curation_pipeline, doc_chunks, near_dedup_keep, pii_redaction,
-    decontamination, repetition_signals, corpus_sample,
+    geohash_cross_index + vocab_estimate; OUT thirteen r3+r4
+    double-greens (curation_pipeline, doc_chunks, near_dedup_keep,
+    pii_redaction, decontamination, repetition_signals, corpus_sample,
     dedup_components, source_rollup, span_dedup, zone_union,
-    zone_intersect)."""
+    zone_intersect, asof_attribution)."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -2896,7 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "neighbors": _q_neighbors,
         "neighbors_all": _q_neighbors_all,
-        "asof_attribution": _q_asof_attribution,
+        "vocab_estimate": _q_vocab_estimate,
         "ivf_topk": _q_ivf_topk,
         "decode_all": _q_decode_all,
         "linetrace": _q_linetrace,
@@ -2938,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_eq_df": _q_polyfill_eq_df,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "asof_attribution": _q_asof_attribution,
         "zone_union": _q_zone_union,
         "zone_intersect": _q_zone_intersect,
         "span_dedup": _q_span_dedup,
@@ -4401,6 +4448,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_train_assign": _ivf_train_assign_oracle_sql(),
         "quality_score": _quality_score_oracle_sql(),
         "geohash_cross_index": _geohash_cross_index_oracle_sql(),
+        "vocab_estimate": _vocab_estimate_oracle_sql(),
         # polyfill_eq_df is the DataFrame-native fleet running the
         # SAME geometry as polyfill_eq; its independent SQL
         # re-derivation is identical by construction.

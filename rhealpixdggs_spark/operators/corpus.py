@@ -150,3 +150,36 @@ def source_rollup(
         ).alias("avg_quality"),
         (F.round(F.col("maxq6") / _Q_SCALE, 6) + F.lit(0.0)).alias("max_quality"),
     )
+
+
+def sampled_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    log2_rate: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Deterministic approximate COUNT(DISTINCT value) per group via
+    threshold hashing — the fixed-theta theta-sketch / KMV idea: a
+    value is SAMPLED iff hash(value) % 2^log2_rate == 0 (a property of
+    the VALUE, so every occurrence everywhere samples identically —
+    deterministic, no RNG, mergeable by construction), and the
+    estimate is (exact distinct count of sampled values) * 2^log2_rate
+    with relative error ~ 1/sqrt(n_sampled).
+
+    Why not approx_count_distinct: Spark's HLL++ sketch is not
+    reproducible across engines, so it cannot be oracle-gated; this
+    estimator is bit-deterministic (hash_fn='md5' has an exact DuckDB
+    twin; 'xxhash64' is the scale default) and its 100-TB plan is
+    BETTER than a full distinct: the pre-aggregation filter drops
+    1 - 2^-log2_rate of the rows BEFORE the shuffle, so the exchange
+    carries only the sample. Output: group_cols + (est_distinct,
+    n_sampled)."""
+    h = _hash64(F.col(value_col), hash_fn)
+    sampled = df.where(h % (1 << log2_rate) == 0)
+    return sampled.groupBy(*group_cols).agg(
+        (F.countDistinct(value_col) * (1 << log2_rate))
+        .cast("long")
+        .alias("est_distinct"),
+        F.countDistinct(value_col).cast("long").alias("n_sampled"),
+    )

@@ -1358,3 +1358,31 @@ class TestIVFPartitionedLayout:
             mem.sort_values(key).reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestSampledDistinct:
+    def test_estimator_within_sampling_error(self, spark, sf_dir):
+        """sampled_distinct's estimate must land within ~3 relative
+        standard errors (3/sqrt(n_sampled)) of the exact distinct
+        count, and sampling must be a property of the VALUE (the same
+        token sampled identically at every occurrence), which the
+        determinism of two runs checks."""
+        from rhealpixdggs_spark.operators.corpus import sampled_distinct
+
+        # 5000 distinct values, each occurring twice (occurrences must
+        # not inflate the estimate — sampling keys on the value)
+        tk = (
+            spark.range(10000)
+            .select(F.concat(F.lit("tok"), F.col("id") % 5000).alias("tok"))
+            .withColumn("g", F.lit("all"))
+        )
+        est = sampled_distinct(tk, ["g"], "tok", log2_rate=4).first()
+        exact = 5000
+        assert est.n_sampled > 100
+        rse = 1.0 / est.n_sampled**0.5
+        assert abs(est.est_distinct - exact) <= 3 * rse * exact
+        again = sampled_distinct(tk, ["g"], "tok", log2_rate=4).first()
+        assert (again.est_distinct, again.n_sampled) == (
+            est.est_distinct,
+            est.n_sampled,
+        )
