@@ -975,13 +975,15 @@ def _q_quality_score(spark, sf_dir):
     )
 
 
-def _quality_score_oracle_sql(dim=256, seed=13) -> str:
+def _quality_score_ctes(dim=256, seed=13) -> str:
+    """The shared tokenize -> bigram -> hash -> weight-lookup -> mean
+    CTE chain (t, f, s with s = (doc_id, score)); quality_score and
+    streaming_curation both build on it."""
     from rhealpixdggs_spark.functions.text import classifier_weights
     from rhealpixdggs_spark.oracle_sql import _r
 
     wl = "[" + ", ".join(_r(x) for x in classifier_weights(dim, seed)) + "]"
-    return f"""
-        WITH t AS (
+    return f"""t AS (
           SELECT doc_id, trim(text) AS tt,
                  string_split_regex(lower(trim(text)), '\\s+') AS toks
           FROM documents),
@@ -1001,10 +1003,71 @@ def _quality_score_oracle_sql(dim=256, seed=13) -> str:
                                               AS BIGINT) % {dim} AS INT) + 1]))
                            / len(feats)
                  END AS score
-          FROM f)
+          FROM f)"""
+
+
+def _quality_score_oracle_sql(dim=256, seed=13) -> str:
+    return f"""
+        WITH {_quality_score_ctes(dim, seed)}
         SELECT doc_id, round(score, 6) AS score,
                CAST(score > 0 AS INT) AS keep
         FROM s
+    """
+
+
+def _q_streaming_curation(spark, sf_dir):
+    """Structured Streaming x curation: documents replayed through a
+    file-source stream, the hashed linear classifier scored INSIDE
+    each micro-batch (pure column expressions run unchanged under
+    streaming), quality-filtered, per-lang doc/token rollup in
+    complete mode under Trigger.AvailableNow — output must equal the
+    batch/DuckDB plan on the same rows."""
+    import tempfile
+    import uuid
+
+    from rhealpixdggs_spark.functions.text import (
+        classifier_weights,
+        hashed_linear_score,
+    )
+
+    src = tempfile.mkdtemp(prefix="rhp_stream_cur_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(src, "documents.parquet"),
+    )
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    score = hashed_linear_score(
+        F.col("text"), classifier_weights(256, 13), hash_fn="md5"
+    )
+    kept = stream.where(score > 0)
+    agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+    name = "rhp_stream_cur_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rhp_scur_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _streaming_curation_oracle_sql() -> str:
+    ntok = "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE " \
+        r"len(string_split_regex(trim(text), '\s+')) END"
+    return f"""
+        WITH {_quality_score_ctes()}
+        SELECT d.lang, count(*) AS n_docs,
+               CAST(sum({ntok}) AS BIGINT) AS total_tokens
+        FROM documents d JOIN s USING (doc_id)
+        WHERE s.score > 0
+        GROUP BY d.lang
     """
 
 
@@ -2925,11 +2988,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 5: IN near_dup_lsh + ann_recall + hex7_kdisk + polyfill_eq_df
     + polygon_join_df + zone_tiles_df + hex7_compact + bm25_topk +
     semantic_dedup + ivf_train_assign + quality_score +
-    geohash_cross_index + vocab_estimate; OUT thirteen r3+r4
-    double-greens (curation_pipeline, doc_chunks, near_dedup_keep,
-    pii_redaction, decontamination, repetition_signals, corpus_sample,
-    dedup_components, source_rollup, span_dedup, zone_union,
-    zone_intersect, asof_attribution)."""
+    geohash_cross_index + vocab_estimate + streaming_curation; OUT
+    fourteen r3+r4 double-greens (curation_pipeline, doc_chunks,
+    near_dedup_keep, pii_redaction, decontamination,
+    repetition_signals, corpus_sample, dedup_components, source_rollup,
+    span_dedup, zone_union, zone_intersect, asof_attribution,
+    linetrace)."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -2945,7 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_estimate": _q_vocab_estimate,
         "ivf_topk": _q_ivf_topk,
         "decode_all": _q_decode_all,
-        "linetrace": _q_linetrace,
+        "streaming_curation": _q_streaming_curation,
         "quality_score": _q_quality_score,
         "geohash_cross_index": _q_geohash_cross_index,
         "polyfill": _q_polyfill,
@@ -2984,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_eq_df": _q_polyfill_eq_df,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "linetrace": _q_linetrace,
         "asof_attribution": _q_asof_attribution,
         "zone_union": _q_zone_union,
         "zone_intersect": _q_zone_intersect,
@@ -4449,6 +4514,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_score_oracle_sql(),
         "geohash_cross_index": _geohash_cross_index_oracle_sql(),
         "vocab_estimate": _vocab_estimate_oracle_sql(),
+        "streaming_curation": _streaming_curation_oracle_sql(),
         # polyfill_eq_df is the DataFrame-native fleet running the
         # SAME geometry as polyfill_eq; its independent SQL
         # re-derivation is identical by construction.
