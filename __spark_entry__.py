@@ -72,6 +72,13 @@ from rhealpixdggs_spark.kernel.constants import WGS84_003  # noqa: E402
 
 KNN_QUERIES = [(0, 10.0, 20.0), (1, -100.0, -40.0), (2, 139.7, 35.7)]
 
+# Radius-search query set: the three kNN sites plus a polar-cap point
+# (cap k_ring crosses the N face) and a dateline-adjacent point (ring
+# wraps the 180 meridian) so the cover path is exercised where the
+# projection distorts most.
+RANGE_QUERIES = KNN_QUERIES + [(3, 40.0, 87.5), (4, 179.5, -30.0)]
+RANGE_RADIUS_M = 500_000.0
+
 # Constants folded for the cell_metrics oracle (same op order as
 # DggsConfig.cell_width / cell_area).
 import math as _math  # noqa: E402
@@ -242,6 +249,52 @@ def _q_knn_rings(spark, sf_dir):
     )
     out = knn_join_rings(pts, queries, 5, ring_k=2, res=res)
     return out.select("query_id", "pid", F.col("rank").alias("rnk"))
+
+
+def _q_range_join(spark, sf_dir):
+    """Geodesic radius search: all points within 500 km (ellipsoidal
+    chord) of each of 5 query sites, including a polar-cap and a
+    dateline-adjacent site. Spark side is the scale path — k_ring
+    candidate cover at res 2, equi-join on cell_id, exact chord
+    filter, zero windows (operators/joins.py:range_join_rings); the
+    oracle is the brute-force distance filter over all pairs, so the
+    gate proves the cover NEVER drops a true match (the over-cover is
+    discarded by the identical IEEE chord expression on both
+    engines)."""
+    from rhealpixdggs_spark.operators.joins import range_join_rings
+
+    res = 2
+    pts = _points(spark, sf_dir).withColumn(
+        "cell_id", rhp_encode(F.col("lon"), F.col("lat"), res)
+    )
+    queries = spark.createDataFrame(
+        RANGE_QUERIES, ["query_id", "q_lon", "q_lat"]
+    ).withColumn("q_cell_id", rhp_encode(F.col("q_lon"), F.col("q_lat"), res))
+    out = range_join_rings(pts, queries, RANGE_RADIUS_M, res=res)
+    return out.select("query_id", "pid")
+
+
+def _q_quadkey_cross_index(spark, sf_dir):
+    """Cross-index: rHEALPix + Bing/Web-Mercator quadkey per point,
+    rolled up per (rhp res-2 tile, 4-char quadkey prefix) with
+    min(qk12) gating the full level-12 key — the FOURTH cross-index
+    family next to S2, hex7 and geohash (functions/quadkey.py:
+    closed-form mercator tile indices + shift/mask digit extraction,
+    pure column math; quadkey prefixes are parent tiles, so the
+    4-char prefix IS the level-4 tile). The oracle re-derives the
+    identical arithmetic through staged CTEs."""
+    from rhealpixdggs_spark.functions.quadkey import quadkey_encode
+
+    pts = _points(spark, sf_dir)
+    enc = pts.select(
+        "pid",
+        rhp_encode(F.col("lon"), F.col("lat"), 9).alias("cell_id"),
+        quadkey_encode(F.col("lon"), F.col("lat"), 12).alias("qk12"),
+    )
+    return enc.groupBy(
+        F.substring("cell_id", 1, 3).alias("tile_id"),
+        F.substring("qk12", 1, 4).alias("qk4"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.min("qk12").alias("qk_min"))
 
 
 def _q_decode_all(spark, sf_dir):
@@ -900,6 +953,27 @@ def _geohash_cross_index_oracle_sql(precision=7) -> str:
                substr(gh.gh7, 1, 3) AS gh3,
                COUNT(*) AS n, min(gh.gh7) AS gh_min
         FROM rhp r JOIN gh USING (pid)
+        GROUP BY 1, 2
+    """
+
+
+def _quadkey_cross_index_oracle_sql(level=12) -> str:
+    """DuckDB twin: the quadkey_sql_parts fragments chained through
+    CTEs (mercator tile indices -> base-4 digit decode) joined against
+    the pure-SQL rhp encoder, grouped exactly as the Spark query."""
+    from rhealpixdggs_spark.functions.quadkey import quadkey_sql_parts
+
+    p = quadkey_sql_parts(level)
+    enc9 = rhp_encode_sql(ORDERS_POINTS_SQL, 9)
+    return f"""
+        WITH pts AS ({ORDERS_POINTS_SQL}),
+        t AS (SELECT pid, {p['tx']} AS tx, {p['ty']} AS ty FROM pts),
+        qk AS MATERIALIZED (SELECT pid, {p['qk']} AS qk12 FROM t),
+        rhp AS MATERIALIZED ({enc9})
+        SELECT substr(r.cell_id, 1, 3) AS tile_id,
+               substr(qk.qk12, 1, 4) AS qk4,
+               COUNT(*) AS n, min(qk.qk12) AS qk_min
+        FROM rhp r JOIN qk USING (pid)
         GROUP BY 1, 2
     """
 
@@ -2988,12 +3062,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 5: IN near_dup_lsh + ann_recall + hex7_kdisk + polyfill_eq_df
     + polygon_join_df + zone_tiles_df + hex7_compact + bm25_topk +
     semantic_dedup + ivf_train_assign + quality_score +
-    geohash_cross_index + vocab_estimate + streaming_curation; OUT
-    fourteen r3+r4 double-greens (curation_pipeline, doc_chunks,
-    near_dedup_keep, pii_redaction, decontamination,
-    repetition_signals, corpus_sample, dedup_components, source_rollup,
-    span_dedup, zone_union, zone_intersect, asof_attribution,
-    linetrace)."""
+    geohash_cross_index + vocab_estimate + streaming_curation +
+    range_join + quadkey_cross_index; OUT fourteen r3+r4 double-greens
+    (curation_pipeline, doc_chunks, near_dedup_keep, pii_redaction,
+    decontamination, repetition_signals, corpus_sample,
+    dedup_components, source_rollup, span_dedup, zone_union,
+    zone_intersect, asof_attribution, linetrace) plus two multi-green
+    r2-era entries (streaming_geo_counts, lsh_cosine_topk)."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -3002,8 +3077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kring_interior": _q_kring_interior,
         "linetrace_many": _q_linetrace_many,
         "ivf_train_assign": _q_ivf_train_assign,
-        "streaming_geo_counts": _q_streaming_geo_counts,
-        "lsh_cosine_topk": _q_lsh_cosine_topk,
+        "range_join": _q_range_join,
+        "quadkey_cross_index": _q_quadkey_cross_index,
         "neighbors": _q_neighbors,
         "neighbors_all": _q_neighbors_all,
         "vocab_estimate": _q_vocab_estimate,
@@ -3048,6 +3123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_eq_df": _q_polyfill_eq_df,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "streaming_geo_counts": _q_streaming_geo_counts,
+        "lsh_cosine_topk": _q_lsh_cosine_topk,
         "linetrace": _q_linetrace,
         "asof_attribution": _q_asof_attribution,
         "zone_union": _q_zone_union,
@@ -3401,6 +3478,40 @@ SELECT query_id, pid, rnk FROM (
   SELECT query_id, pid,
          row_number() OVER (PARTITION BY query_id ORDER BY dist2, pid) AS rnk
   FROM d) WHERE rnk <= 5
+"""
+
+
+def _range_sql():
+    """Brute-force twin of range_join_rings: ALL pairs, identical IEEE
+    chord-distance tree (same as _knn_sql), threshold filter. The
+    Spark side only ever sees k_ring candidates — a hash match proves
+    the cover is a true superset."""
+    from rhealpixdggs_spark.kernel.constants import WGS84_003 as cfg
+
+    a, e2 = cfg.a, cfg.e**2
+    vals = ", ".join(f"({i}, {lo}, {la})" for i, lo, la in RANGE_QUERIES)
+
+    def xyz(lon, lat, p):
+        return (
+            f"{a!r}/sqrt(1 - {e2!r}*power(sin(radians({lat})), 2)) AS n_{p}, "
+            f"radians({lon}) AS lam_{p}, radians({lat}) AS phi_{p}"
+        )
+
+    return f"""
+WITH pts AS ({ORDERS_POINTS_SQL}),
+q(query_id, q_lon, q_lat) AS (VALUES {vals}),
+xy AS (
+  SELECT q.query_id, pts.pid,
+    {xyz('pts.lon', 'pts.lat', 'p')},
+    {xyz('q.q_lon', 'q.q_lat', 'q')}
+  FROM pts, q),
+d AS (
+  SELECT query_id, pid,
+    power(n_p*cos(lam_p)*cos(phi_p) - n_q*cos(lam_q)*cos(phi_q), 2)
+  + power(n_p*sin(lam_p)*cos(phi_p) - n_q*sin(lam_q)*cos(phi_q), 2)
+  + power(n_p*(1-{e2!r})*sin(phi_p) - n_q*(1-{e2!r})*sin(phi_q), 2) AS dist2
+  FROM xy)
+SELECT query_id, pid FROM d WHERE dist2 <= {RANGE_RADIUS_M ** 2!r}
 """
 
 
@@ -3973,6 +4084,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_brute": _knn_sql(),
         "knn_rings": _knn_sql(),
+        "range_join": _range_sql(),
         "cell_nucleus": f"""
             SELECT cell_id, round(n_lon, 9) + 0.0 AS n_lon,
                    round(n_lat, 9) + 0.0 AS n_lat
@@ -4513,6 +4625,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_train_assign": _ivf_train_assign_oracle_sql(),
         "quality_score": _quality_score_oracle_sql(),
         "geohash_cross_index": _geohash_cross_index_oracle_sql(),
+        "quadkey_cross_index": _quadkey_cross_index_oracle_sql(),
         "vocab_estimate": _vocab_estimate_oracle_sql(),
         "streaming_curation": _streaming_curation_oracle_sql(),
         # polyfill_eq_df is the DataFrame-native fleet running the

@@ -356,8 +356,14 @@ def knn_join_rings(
     holds >= k points; callers can re-run stragglers with a larger
     ring (the returned 'n_cand' column exposes candidate counts).
     """
+    # array_distinct: the ring walk can revisit a cell where it
+    # crosses cube faces; duplicate candidate cells would double-join
+    # a point and corrupt the rank sequence. Map-side, no shuffle.
     cand_cells = (
-        queries.withColumn("_ring", rhp_k_ring(F.col(query_cell), ring_k, cfg))
+        queries.withColumn(
+            "_ring",
+            F.array_distinct(rhp_k_ring(F.col(query_cell), ring_k, cfg)),
+        )
         .withColumn(point_cell, F.explode("_ring"))
         .drop("_ring")
     )
@@ -438,6 +444,84 @@ def knn_join_rings_adaptive(
     for p in parts[1:]:
         result = result.unionByName(p)
     return result
+
+
+def ring_k_for_radius(
+    radius_m: float,
+    res: int,
+    cfg: DggsConfig = WGS84_003,
+    safety: float = 3.0,
+) -> int:
+    """Ring depth guaranteeing the k_ring of a point's cell covers the
+    geodesic cap of `radius_m` around it, from the planar cell width
+    (cell_width, dggs.py:671-687) divided by a `safety` bound on the
+    projection's worst-case linear compression. rHEALPix is equal-area,
+    so local scale factors J_max * J_min = 1; the default safety=3
+    over-covers the measured worst case (the polar-cap corner
+    directions) with margin — verified superset-vs-brute on the polar
+    fixture points in tests/test_spark_operators.py. Over-covering
+    only widens the candidate set; correctness comes from the exact
+    chord refine in range_join_rings."""
+    import math
+
+    w = cfg.cell_width(res)
+    return max(1, math.ceil(radius_m * safety / w))
+
+
+def range_join_rings(
+    points: DataFrame,
+    queries: DataFrame,
+    radius_m: float,
+    res: int,
+    ring_k: int | None = None,
+    point_cell: str = "cell_id",
+    point_cols=("lon", "lat"),
+    query_cell: str = "q_cell_id",
+    query_cols=("q_lon", "q_lat"),
+    query_id: str = "query_id",
+    cfg: DggsConfig = WGS84_003,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Geodesic radius search ("all points within R meters of each
+    query"): expand each query's cell to its k_ring at the index
+    resolution (k_ring, rhp_wrappers.py:471-507), equi-join the
+    candidate cells against the spatially-indexed points, then keep
+    candidates whose exact ellipsoidal chord distance is <= R. The
+    distance is the 3D chord on the WGS84 ellipsoid (Ellipsoid.xyz,
+    ellipsoids.py:328-350) — strictly monotone in geodesic distance,
+    so the R threshold defines the same point set.
+
+    Same 100-TB shape as knn_join_rings: the equi-join on cell_id
+    prunes the pages table to the ring neighborhoods (shuffle keyed on
+    cell_id, AQE-skew-splittable) instead of a cross product, and —
+    unlike kNN — needs no window: the refine is a stateless filter, so
+    the whole operator is scan -> equi-join -> filter, zero windows,
+    one exchange when broadcast_queries=True. ring_k defaults to
+    ring_k_for_radius(radius_m, res) (conservative over-cover; the
+    exact refine discards the excess)."""
+    if ring_k is None:
+        ring_k = ring_k_for_radius(radius_m, res, cfg)
+    # array_distinct: the ring walk can visit a cell twice where it
+    # crosses cube faces (reference parity keeps the duplicates in
+    # k_ring's output); candidates must be unique per query or the
+    # join emits duplicate pairs. Map-side, no extra shuffle.
+    cand_cells = (
+        queries.withColumn(
+            "_ring",
+            F.array_distinct(rhp_k_ring(F.col(query_cell), ring_k, cfg)),
+        )
+        .withColumn(point_cell, F.explode("_ring"))
+        .drop("_ring")
+    )
+    cand = F.broadcast(cand_cells) if broadcast_queries else cand_cells
+    joined = points.join(cand, point_cell)
+    d2 = _chord_dist2(
+        F.col(point_cols[0]), F.col(point_cols[1]),
+        F.col(query_cols[0]), F.col(query_cols[1]), cfg,
+    )
+    return joined.withColumn("dist2", d2).where(
+        F.col("dist2") <= F.lit(float(radius_m) ** 2)
+    )
 
 
 def polygon_join(

@@ -465,6 +465,30 @@ class TestNearDupLshPlan:
         assert "EvalPython" not in plan  # pure column expressions
 
 
+class TestRangeJoinPlan:
+    def test_equijoin_filter_no_window(self, spark):
+        """range_join_rings is scan -> candidate equi-join -> chord
+        filter: no BroadcastNestedLoopJoin / CartesianProduct (the
+        cover prunes instead of crossing) and — unlike kNN — no Window
+        at all (the refine is a stateless threshold)."""
+        from rhealpixdggs_spark.functions.udfs import rhp_encode
+        from rhealpixdggs_spark.operators.joins import range_join_rings
+
+        pts = spark.range(500).select(
+            F.col("id").alias("pid"),
+            ((F.col("id") * 7 % 360) - 180.0).cast("double").alias("lon"),
+            ((F.col("id") * 3 % 170) - 85.0).cast("double").alias("lat"),
+        ).withColumn("cell_id", rhp_encode(F.col("lon"), F.col("lat"), 3))
+        q = spark.createDataFrame(
+            [(0, 10.0, 20.0)], ["query_id", "q_lon", "q_lat"]
+        ).withColumn("q_cell_id", rhp_encode(F.col("q_lon"), F.col("q_lat"), 3))
+        df = range_join_rings(pts, q, 300_000.0, res=3)
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+
+
 class TestSemanticDedupPlan:
     def test_cluster_equijoin_only(self, spark):
         """semantic_dedup: assignment is literal-argmax column math,

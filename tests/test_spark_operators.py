@@ -194,6 +194,54 @@ class TestJoins:
         exp = sorted(r.pid for r in brute.select("pid").collect())
         assert got == exp
 
+    def test_range_join_equals_brute_filter(self, spark, rng):
+        """range_join_rings (k_ring cover + chord refine) must return
+        EXACTLY the brute-force distance-threshold set — including
+        polar and dateline-adjacent queries where the cover crosses
+        cube faces and wraps the 180 meridian."""
+        from rhealpixdggs_spark.operators.joins import (
+            _chord_dist2,
+            range_join_rings,
+        )
+
+        res = 3
+        pts = _points_df(spark, rng, 3000, res=res).cache()
+        sites = [(0, 10.0, 20.0), (1, 179.8, -35.0), (2, -45.0, 88.0),
+                 (3, 0.0, -88.5)]
+        qdf = spark.createDataFrame(sites, ["query_id", "q_lon", "q_lat"])
+        queries = qdf.withColumn(
+            "q_cell_id", rhp_encode(F.col("q_lon"), F.col("q_lat"), res)
+        )
+        radius = 400_000.0
+        got = range_join_rings(pts, queries, radius, res=res)
+        d2 = _chord_dist2(
+            F.col("lon"), F.col("lat"), F.col("q_lon"), F.col("q_lat"),
+            WGS84_003,
+        )
+        brute = (
+            pts.crossJoin(F.broadcast(qdf))
+            .withColumn("dist2", d2)
+            .where(F.col("dist2") <= radius**2)
+        )
+        g = sorted((r.query_id, r.pid) for r in got.collect())
+        e = sorted((r.query_id, r.pid) for r in brute.collect())
+        assert g == e
+        assert len(g) > 0  # the fixture must actually exercise matches
+        # no duplicate pairs even where the ring walk revisits cells
+        assert len(g) == len(set(g))
+
+    def test_ring_k_for_radius_bounds(self):
+        from rhealpixdggs_spark.operators.joins import ring_k_for_radius
+
+        # widening radius or sharpening resolution never shrinks the ring
+        assert ring_k_for_radius(1_000.0, 6) >= 1
+        assert ring_k_for_radius(500_000.0, 3) >= ring_k_for_radius(
+            100_000.0, 3
+        )
+        assert ring_k_for_radius(100_000.0, 5) >= ring_k_for_radius(
+            100_000.0, 3
+        )
+
     def test_grid_and_compress(self, spark):
         g2 = grid(spark, 2)
         assert g2.count() == 6 * 81
