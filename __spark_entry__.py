@@ -297,6 +297,51 @@ def _q_quadkey_cross_index(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"), F.min("qk12").alias("qk_min"))
 
 
+def _q_pagerank(spark, sf_dir):
+    """Link-graph PageRank over the documents table: a deterministic
+    synthetic out-link graph (outdeg 2-4, md5-keyed targets, no
+    dangling nodes) + 6 integer power-method iterations at damping
+    17/20 (operators/graph.py). Ranks are int64 fixed-point with
+    ORDER-INDEPENDENT integer sums, so Spark and the DuckDB twin
+    (pagerank_sql: same graph CTEs + the same unrolled iterations)
+    agree bit-for-bit — the determinism float PageRank cannot give.
+    Output: every doc's rank in mass units (1e12 == 1.0)."""
+    from rhealpixdggs_spark.operators.graph import (
+        pagerank,
+        synthetic_link_graph,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    edges = synthetic_link_graph(docs, n, hash_fn="md5")
+    nodes = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return pagerank(nodes, edges, iters=6, id_col="doc_id")
+
+
+def _q_interval_join(spark, sf_dir):
+    """Interval-overlap join (maintenance-window / campaign
+    attribution): every event inside any of the ~1%-sampled
+    [ts, ts + 1..7 min] windows. Spark side is the bucketed rewrite
+    (operators/temporal.py:interval_overlap_join — explode intervals
+    to <= 2 time buckets, equi-join on the bucket id, exact BETWEEN
+    refine; no nested loop); the oracle is the brute non-equi theta
+    join, so the gate proves the bucket cover loses no pair."""
+    from rhealpixdggs_spark.operators.temporal import interval_overlap_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + F.expr("make_interval(0,0,0,0,0,cast(1 + event_id % 7 as int),0)")
+        ).alias("end_ts"),
+    )
+    return interval_overlap_join(ev, iv).select(
+        "interval_id", "event_id", "event_type"
+    )
+
+
 def _q_decode_all(spark, sf_dir):
     """Full ellipsoidal decode of EVERY res-2 cell: nucleus + the
     4-vertex boundary ring, including the cap/dart/skew vertex
@@ -976,6 +1021,16 @@ def _quadkey_cross_index_oracle_sql(level=12) -> str:
         FROM rhp r JOIN qk USING (pid)
         GROUP BY 1, 2
     """
+
+
+def _pagerank_oracle_sql() -> str:
+    """DuckDB twin of _q_pagerank: the same md5-keyed synthetic link
+    graph and the same 6 unrolled integer power-method iterations
+    (operators/graph.py:pagerank_sql). The node count is a scalar
+    subquery, so the oracle tracks the documents table at any sf."""
+    from rhealpixdggs_spark.operators.graph import pagerank_sql
+
+    return pagerank_sql("SELECT doc_id FROM documents", None, iters=6)
 
 
 def _q_vocab_estimate(spark, sf_dir):
@@ -3063,12 +3118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     + polygon_join_df + zone_tiles_df + hex7_compact + bm25_topk +
     semantic_dedup + ivf_train_assign + quality_score +
     geohash_cross_index + vocab_estimate + streaming_curation +
-    range_join + quadkey_cross_index; OUT fourteen r3+r4 double-greens
-    (curation_pipeline, doc_chunks, near_dedup_keep, pii_redaction,
-    decontamination, repetition_signals, corpus_sample,
-    dedup_components, source_rollup, span_dedup, zone_union,
-    zone_intersect, asof_attribution, linetrace) plus two multi-green
-    r2-era entries (streaming_geo_counts, lsh_cosine_topk)."""
+    range_join + quadkey_cross_index + pagerank + interval_join; OUT
+    fourteen r3+r4 double-greens (curation_pipeline, doc_chunks,
+    near_dedup_keep, pii_redaction, decontamination,
+    repetition_signals, corpus_sample, dedup_components,
+    source_rollup, span_dedup, zone_union, zone_intersect,
+    asof_attribution, linetrace), two multi-green r2-era entries
+    (streaming_geo_counts, lsh_cosine_topk), and two r3+r4
+    double-greens (ivf_topk, zone_assign)."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -3082,7 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors": _q_neighbors,
         "neighbors_all": _q_neighbors_all,
         "vocab_estimate": _q_vocab_estimate,
-        "ivf_topk": _q_ivf_topk,
+        "pagerank": _q_pagerank,
         "decode_all": _q_decode_all,
         "streaming_curation": _q_streaming_curation,
         "quality_score": _q_quality_score,
@@ -3099,7 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_eq": _q_polyfill_eq,
         "zone_catchment": _q_zone_catchment,
         "zone_tiles_df": _q_zone_tiles_df,
-        "zone_assign": _q_zone_assign,
+        "interval_join": _q_interval_join,
         "zone_subtract": _q_zone_subtract,
         "polygon_join": _q_polygon_join,
         "polygon_join_df": _q_polygon_join_df,
@@ -3123,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_eq_df": _q_polyfill_eq_df,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "ivf_topk": _q_ivf_topk,
+        "zone_assign": _q_zone_assign,
         "streaming_geo_counts": _q_streaming_geo_counts,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "linetrace": _q_linetrace,
@@ -4085,6 +4144,16 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _knn_sql(),
         "knn_rings": _knn_sql(),
         "range_join": _range_sql(),
+        "pagerank": _pagerank_oracle_sql(),
+        # brute non-equi theta join: proves the Spark side's bucketed
+        # equi-join rewrite loses no (event, interval) pair
+        "interval_join": """
+            WITH iv AS (SELECT event_id AS interval_id, ts AS s,
+                               ts + (1 + event_id % 7) * INTERVAL 1 MINUTE AS e
+                        FROM events WHERE event_id % 97 = 0)
+            SELECT iv.interval_id, ev.event_id, ev.event_type
+            FROM events ev JOIN iv ON ev.ts BETWEEN iv.s AND iv.e
+        """,
         "cell_nucleus": f"""
             SELECT cell_id, round(n_lon, 9) + 0.0 AS n_lon,
                    round(n_lat, 9) + 0.0 AS n_lat

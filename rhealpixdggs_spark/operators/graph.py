@@ -1,0 +1,171 @@
+"""Link-graph analytics over web-corpus tables.
+
+PageRank is THE canonical computation over a Common-Crawl-style link
+graph, and the one every crawl-curation pipeline eventually needs
+(rank-weighted sampling, spam down-weighting, seed selection). Spark
+has no built-in; the implementation here is the fixed-iteration power
+method expressed as 2 relational stages per iteration — a join keyed
+on ``src`` (each edge picks up its source's current rank) and an
+aggregation keyed on ``dst`` (incoming shares sum) — so one iteration
+costs exactly the shuffles Catalyst shows and nothing driver-side.
+
+Bit-reproducibility (the same trick as ``similarity.ivf_train_lloyd``):
+every rank is an int64 in fixed-point "mass units" (UNIT = 1e12 per
+node), each source's share is the INTEGER division rank div outdeg,
+and the damped update is ``TELEPORT + (17 * sum) div 20`` — alpha
+0.85 as the exact ratio 17/20. Integer sums are order-independent, so
+the ranks are bit-identical run to run, across partitionings, and
+across engines (the DuckDB oracle unrolls the same iterations in
+SQL). Float PageRank cannot promise any of that: its per-node sum
+order varies with the physical plan.
+
+Mass accounting: integer division discards remainders (< outdeg
+units per node per iteration, i.e. ~1e-12 relative) and dangling
+nodes (outdeg 0) leak their damped mass to the teleport term — the
+standard "teleport-absorbs-sinks" simplification. Node values stay
+near UNIT (hubs a small multiple), so the int64 headroom of ~9e6
+UNITs per node holds to ~1e6x skew; at larger corpora lower UNIT.
+
+100-TB shape: per iteration ONE shuffle of the edge table keyed on
+src (or none, if `edges` is pre-bucketed by src — the rank table is
+tiny relative to edges and co-shuffles) + ONE partial-agg shuffle
+keyed on dst. Iterations are a fixed constant (power-method
+convergence is geometric in alpha), NOT data-dependent; the whole
+computation is a single lazy plan, no driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rhealpixdggs_spark.operators.dedup import _hash64
+
+#: fixed-point mass per node: 1.0 rank == 1e12 units.
+UNIT = 1_000_000_000_000
+#: damping 0.85 as the exact integer ratio 17/20.
+ALPHA_NUM, ALPHA_DEN = 17, 20
+#: (1 - alpha) * UNIT, exact: 0.15e12.
+TELEPORT = (ALPHA_DEN - ALPHA_NUM) * UNIT // ALPHA_DEN
+
+
+def synthetic_link_graph(
+    documents: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic out-links per document: outdeg 2-4 keyed by
+    h(id), target_j = (id + 1 + h(id:j) mod (n-1)) mod n for
+    j < outdeg — never a self-loop, so every node keeps outdeg >= 1
+    after the (src, dst) dedup and the graph has NO dangling nodes.
+    Pure column math (hash + sequence-explode), map-only.
+
+    hash_fn='md5' is the portable oracle twin (dedup.portable_hash64);
+    xxhash64 is the JVM-hash scale default for bench runs."""
+    src = F.col("src")
+    deg = (
+        F.lit(2)
+        + F.pmod(
+            _hash64(F.concat(src.cast("string"), F.lit(":d")), hash_fn),
+            F.lit(3),
+        )
+    ).cast("int")
+    tgt_hash = _hash64(
+        F.concat(src.cast("string"), F.lit(":"), F.col("_j").cast("string")),
+        hash_fn,
+    )
+    dst = F.pmod(src + 1 + F.pmod(tgt_hash, F.lit(n_docs - 1)), F.lit(n_docs))
+    return (
+        documents.select(F.col(id_col).cast("long").alias("src"))
+        .withColumn("_d", deg)
+        .withColumn("_j", F.explode(F.sequence(F.lit(0), F.col("_d") - 1)))
+        .select("src", dst.alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 6,
+    id_col: str = "id",
+) -> DataFrame:
+    """Fixed-iteration integer power-method PageRank.
+
+    nodes : one row per node (id_col)
+    edges : (src, dst) long columns, pre-deduplicated
+
+    Returns (id_col, rank_q) where rank_q is the int64 fixed-point
+    rank (UNIT == 1.0). Bit-exact across engines and partitionings —
+    see the module docstring for the arithmetic contract. The whole
+    loop builds ONE lazy plan (iters is a small constant)."""
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_d = edges.join(outdeg, "src")
+    ranks = nodes.select(F.col(id_col).cast("long").alias(id_col)).withColumn(
+        "r", F.lit(UNIT).cast("long")
+    )
+    node_ids = ranks.select(id_col)
+    for _ in range(iters):
+        contrib = edges_d.join(
+            ranks.withColumnRenamed(id_col, "_rid"),
+            F.col("src") == F.col("_rid"),
+        ).select("dst", F.expr("r div d").alias("share"))
+        incoming = contrib.groupBy("dst").agg(F.sum("share").alias("s"))
+        ranks = node_ids.join(
+            incoming, F.col(id_col) == F.col("dst"), "left"
+        ).select(
+            id_col,
+            (
+                F.lit(TELEPORT)
+                + F.expr(f"({ALPHA_NUM} * coalesce(s, 0L)) div {ALPHA_DEN}")
+            ).cast("long").alias("r"),
+        )
+    return ranks.select(id_col, F.col("r").alias("rank_q"))
+
+
+def pagerank_sql(
+    documents_sql: str,
+    n_docs: int | None = None,
+    iters: int = 6,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: the same synthetic graph (md5 portable hash) and
+    the same unrolled integer iterations. `//` is DuckDB's integer
+    floor division — identical to Spark's `div` for the non-negative
+    operands used here. n_docs=None derives the node count inside the
+    SQL (scalar subquery over the docs CTE), matching the Spark
+    side's `documents.count()` at any scale factor."""
+    def h(s: str) -> str:
+        return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+    n = str(n_docs) if n_docs is not None else "(SELECT n FROM _cnt)"
+    deg_key = id_col + " || ':d'"
+    tgt_key = id_col + " || ':' || j"
+    deg = f"2 + ({h(deg_key)} % 3)"
+    tgt = f"({id_col} + 1 + ({h(tgt_key)} % ({n} - 1))) % {n}"
+    parts = [
+        f"docs AS ({documents_sql})",
+        "_cnt AS (SELECT COUNT(*) AS n FROM docs)",
+        f"dd AS (SELECT {id_col}, {deg} AS d FROM docs)",
+        f"ej AS (SELECT {id_col}, unnest(range(0, d)) AS j FROM dd)",
+        f"e0 AS (SELECT {id_col} AS src, {tgt} AS dst FROM ej)",
+        "edges AS (SELECT DISTINCT src, dst FROM e0)",
+        "odeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        f"r0 AS (SELECT {id_col} AS id, CAST({UNIT} AS BIGINT) AS r FROM docs)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"s{i} AS (SELECT e.dst, SUM(r.r // o.d) AS s FROM edges e"
+            f" JOIN odeg o USING (src) JOIN r{i} r ON r.id = e.src"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT r.id, CAST({TELEPORT} +"
+            f" ({ALPHA_NUM} * COALESCE(s.s, 0)) // {ALPHA_DEN} AS BIGINT) AS r"
+            f" FROM r{i} r LEFT JOIN s{i} s ON s.dst = r.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id AS {id_col}, r AS rank_q FROM r{iters}"
+    )

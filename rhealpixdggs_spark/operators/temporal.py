@@ -318,3 +318,61 @@ def asof_join_bucketed(
     tagged = tagged.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
     out = tagged.where(F.col("_side") == 1)
     return _unpack(out, left, by, on, ts_out, carried, tolerance)
+
+
+def interval_overlap_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_width=None,
+) -> DataFrame:
+    """Interval-overlap join: every (event, interval) pair with
+    ``start <= ts <= end`` (closed bounds — DuckDB/ANSI BETWEEN).
+    The maintenance-window / campaign-attribution / downtime-overlap
+    primitive; Spark's only native spelling is a non-equi theta join,
+    which physically executes as BroadcastNestedLoop (or a cartesian
+    when neither side fits in a broadcast) — quadratic at scale.
+
+    Relational rewrite: pick a bucket width w >= the longest interval,
+    explode each interval to the time buckets it touches (<= 2 when w
+    holds the bound; the sequence stays correct, just longer, if a
+    caller pins a smaller w), bucket each event by floor(ts / w), then
+    EQUI-join on the bucket id and refine with the exact BETWEEN
+    filter. Every surviving pair is emitted exactly once — an event
+    lives in exactly one bucket and an interval's bucket list is
+    duplicate-free by construction (a sequence).
+
+    100-TB shape: scan -> map-side bucket ids -> one hash equi-join
+    keyed on an int64 -> stateless filter. No window, no nested loop;
+    hot buckets (event bursts) split under AQE skew handling like any
+    equi-join key. Cost scales with SUM(interval_len)/w extra interval
+    rows, bounded by 2x when w >= max length.
+
+    bucket_width=None (default) derives w EAGERLY as max(end - start)
+    via one aggregation over `intervals` (same caveat as
+    asof_join_bucketed's "auto": cache or pin w in loops). Units:
+    seconds for timestamp columns, column units for numerics.
+    """
+    ts_type = events.schema[ts].dataType
+    if bucket_width is None:
+        is_ts = "timestamp" in str(ts_type).lower()
+        if is_ts:
+            # timestampdiff works for both TIMESTAMP and TIMESTAMP_NTZ
+            # (unix_micros rejects NTZ).
+            span = F.expr(f"timestampdiff(MICROSECOND, `{start}`, `{end}`)")
+        else:
+            span = F.col(end) - F.col(start)
+        row = intervals.agg(F.max(span).alias("m")).first()
+        m = row["m"] if row and row["m"] is not None else 1
+        bucket_width = max(float(m) / 1_000_000.0 if is_ts else float(m), 1e-9)
+    b0 = _bucket_expr(F.col(start), ts_type, bucket_width)
+    b1 = _bucket_expr(F.col(end), ts_type, bucket_width)
+    iv = intervals.withColumn("_bkt", F.explode(F.sequence(b0, b1)))
+    ev = events.withColumn("_bkt", _bucket_expr(F.col(ts), ts_type, bucket_width))
+    return (
+        ev.join(iv, "_bkt")
+        .where(F.col(ts).between(F.col(start), F.col(end)))
+        .drop("_bkt")
+    )
