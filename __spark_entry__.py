@@ -342,6 +342,103 @@ def _q_interval_join(spark, sf_dir):
     )
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimation (operators/sketches.py):
+    build a 4 x 1024 counter grid over every token of the corpus (one
+    explode + one partially-aggregating groupBy — the exchange carries
+    the CONSTANT-size grid, not the tokens), then estimate the count
+    of each distinct token of doc 0 as the min across grid rows.
+    Exact integer counters + keyed md5 bucket hashes, so the DuckDB
+    twin rebuilds the identical grid and identical estimates."""
+    from rhealpixdggs_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    sketch = cms_build(toks, "token", depth=4, width=1024, hash_fn="md5")
+    probes = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .distinct()
+    )
+    return cms_estimate(sketch, probes, "token", depth=4, width=1024,
+                        hash_fn="md5")
+
+
+def _heavy_hitters_oracle_sql(depth: int = 4, width: int = 1024) -> str:
+    """DuckDB twin of _q_heavy_hitters: same tokenization, same keyed
+    md5 bucket hashes (operators/sketches.py:cms_sql_parts), same
+    grid, same min-across-rows estimates."""
+    from rhealpixdggs_spark.operators.sketches import cms_sql_parts
+
+    bucket = cms_sql_parts(depth, width)["bucket"]
+    rows = ", ".join(f"({r})" for r in range(depth))
+    return f"""
+        WITH toks AS (
+            SELECT unnest({_TOKENIZE}) AS token
+            FROM documents WHERE len(trim(text)) > 0),
+        rws(r) AS (VALUES {rows}),
+        grid AS (
+            SELECT r AS row, {bucket('token', 'r')} AS bucket,
+                   COUNT(*) AS cnt
+            FROM toks, rws GROUP BY 1, 2),
+        p0 AS (
+            SELECT DISTINCT unnest({_TOKENIZE}) AS token
+            FROM documents WHERE doc_id = 0),
+        pr AS (SELECT token, r AS row, {bucket('token', 'r')} AS bucket
+               FROM p0, rws)
+        SELECT pr.token, MIN(COALESCE(g.cnt, 0)) AS est
+        FROM pr LEFT JOIN grid g USING (row, bucket)
+        GROUP BY pr.token
+    """
+
+
+def _q_streaming_interval_join(spark, sf_dir):
+    """Structured Streaming x interval-overlap join: events replayed
+    through a file-source stream, stream-static joined against the
+    static interval windows via the SAME bucket-explode equi-join
+    rewrite (operators/temporal.py:interval_overlap_join runs
+    unchanged under streaming — the bucket ids are map-side column
+    math and the join is a plain stream-static equi-join), append
+    mode under Trigger.AvailableNow. Output must equal the batch
+    plan, i.e. the interval_join brute theta-join oracle."""
+    import tempfile
+    import uuid
+
+    from rhealpixdggs_spark.operators.temporal import interval_overlap_join
+
+    src = tempfile.mkdtemp(prefix="rhp_stream_iv_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    iv = static.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + F.expr("make_interval(0,0,0,0,0,cast(1 + event_id % 7 as int),0)")
+        ).alias("end_ts"),
+    )
+    out = interval_overlap_join(stream, iv).select(
+        "interval_id", "event_id", "event_type"
+    )
+    name = "rhp_stream_iv_" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rhp_siv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_decode_all(spark, sf_dir):
     """Full ellipsoidal decode of EVERY res-2 cell: nucleus + the
     4-vertex boundary ring, including the cap/dart/skew vertex
@@ -3118,14 +3215,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     + polygon_join_df + zone_tiles_df + hex7_compact + bm25_topk +
     semantic_dedup + ivf_train_assign + quality_score +
     geohash_cross_index + vocab_estimate + streaming_curation +
-    range_join + quadkey_cross_index + pagerank + interval_join; OUT
-    fourteen r3+r4 double-greens (curation_pipeline, doc_chunks,
-    near_dedup_keep, pii_redaction, decontamination,
-    repetition_signals, corpus_sample, dedup_components,
-    source_rollup, span_dedup, zone_union, zone_intersect,
-    asof_attribution, linetrace), two multi-green r2-era entries
-    (streaming_geo_counts, lsh_cosine_topk), and two r3+r4
-    double-greens (ivf_topk, zone_assign)."""
+    range_join + quadkey_cross_index + pagerank + interval_join +
+    heavy_hitters + streaming_interval_join; OUT fourteen r3+r4
+    double-greens (curation_pipeline, doc_chunks, near_dedup_keep,
+    pii_redaction, decontamination, repetition_signals, corpus_sample,
+    dedup_components, source_rollup, span_dedup, zone_union,
+    zone_intersect, asof_attribution, linetrace), two multi-green
+    r2-era entries (streaming_geo_counts, lsh_cosine_topk), and four
+    r3+r4 double-greens (ivf_topk, zone_assign, linetrace_dateline,
+    shape_all)."""
     return {
         # -- 1-50: oracle-backed, inside the driver's correctness window
         "cell_geometry": _q_cell_geometry,
@@ -3172,8 +3270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": _q_image_resize,
         "zone_xor": _q_zone_xor,
         "polyfill_cap": _q_polyfill_cap,
-        "linetrace_dateline": _q_linetrace_dateline,
-        "shape_all": _q_shape_all,
+        "heavy_hitters": _q_heavy_hitters,
+        "streaming_interval_join": _q_streaming_interval_join,
         "hex7_compact": _q_hex7_compact,
         "bm25_topk": _q_bm25_topk,
         "asof_bucketed_auto": _q_asof_bucketed_auto,
@@ -3182,6 +3280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior round (rotation ledger: FIXTURES.md section 5)
         "ivf_topk": _q_ivf_topk,
         "zone_assign": _q_zone_assign,
+        "linetrace_dateline": _q_linetrace_dateline,
+        "shape_all": _q_shape_all,
         "streaming_geo_counts": _q_streaming_geo_counts,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "linetrace": _q_linetrace,
@@ -4145,6 +4245,15 @@ def oracle_sql() -> dict[str, str]:
         "knn_rings": _knn_sql(),
         "range_join": _range_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "heavy_hitters": _heavy_hitters_oracle_sql(),
+        # streaming output must equal the batch brute theta join
+        "streaming_interval_join": """
+            WITH iv AS (SELECT event_id AS interval_id, ts AS s,
+                               ts + (1 + event_id % 7) * INTERVAL 1 MINUTE AS e
+                        FROM events WHERE event_id % 97 = 0)
+            SELECT iv.interval_id, ev.event_id, ev.event_type
+            FROM events ev JOIN iv ON ev.ts BETWEEN iv.s AND iv.e
+        """,
         # brute non-equi theta join: proves the Spark side's bucketed
         # equi-join rewrite loses no (event, interval) pair
         "interval_join": """

@@ -288,6 +288,8 @@ def run_headline(spark, sf_dir: str) -> dict:
         "polyfill_fleet_df",
         "curation_pipeline",
         "bm25_topk",
+        "pagerank",
+        "interval_join",
     ]:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
