@@ -2854,6 +2854,29 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, qdf, k=10).orderBy("query_id", "rank")
 
 
+def _q_cell_term_profile(spark, sf_dir):
+    """Per-cell distinctive-term profile — the graft's two halves in
+    one aggregate (operators/ranking.cell_term_profile): documents get
+    deterministic synthetic coordinates (the shared integer-exact
+    derivation, keyed on doc_id), encode to res-2 rHEALPix cells, and
+    each cell ranks its terms by tf x idf over cells-as-documents.
+    Bit-reproducible: integer tf/df, exact-ratio idf with the same
+    IEEE expression tree in the DuckDB twin, score rounded to 6
+    decimals before ranking, term tie-break."""
+    from rhealpixdggs_spark.operators.ranking import cell_term_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = docs.select(
+        rhp_encode(
+            (((F.col("doc_id") * 9973) % 360000) / 1000.0 - 180.0),
+            (((F.col("doc_id") * 7919) % 178000) / 1000.0 - 89.0),
+            2,
+        ).alias("tile_id"),
+        "text",
+    )
+    return cell_term_profile(enc, k=5).orderBy("tile_id", "rank")
+
+
 def _q_sessionize(spark, sf_dir):
     """Sessionization over the events stream table: a session breaks
     after a 30-minute gap per user (lag + running sum of
@@ -3216,7 +3239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup + ivf_train_assign + quality_score +
     geohash_cross_index + vocab_estimate + streaming_curation +
     range_join + quadkey_cross_index + pagerank + interval_join +
-    heavy_hitters + streaming_interval_join; OUT fourteen r3+r4
+    heavy_hitters + streaming_interval_join + cell_term_profile
+    (region_cover_ell, green r2+r3, rotates to the 51+ tail for it);
+    OUT fourteen r3+r4
     double-greens (curation_pipeline, doc_chunks, near_dedup_keep,
     pii_redaction, decontamination, repetition_signals, corpus_sample,
     dedup_components, source_rollup, span_dedup, zone_union,
@@ -3247,7 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kring_sizes": _q_kring_sizes,
         "semantic_dedup": _q_semantic_dedup,
         "url_canonical": _q_url_canonical,
-        "region_cover_ell": _q_region_cover_ell,
+        "cell_term_profile": _q_cell_term_profile,
         "ann_quantized": _q_ann_quantized,
         "near_dup_lsh": _q_near_dup_lsh,
         "ann_recall": _q_ann_recall,
@@ -3278,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_eq_df": _q_polyfill_eq_df,
         # -- 51+: oracle-backed overflow, every entry driver-green in a
         # prior round (rotation ledger: FIXTURES.md section 5)
+        "region_cover_ell": _q_region_cover_ell,
         "ivf_topk": _q_ivf_topk,
         "zone_assign": _q_zone_assign,
         "linetrace_dateline": _q_linetrace_dateline,
@@ -4791,6 +4817,7 @@ def oracle_sql() -> dict[str, str]:
         "hex7_encode": _hex7_encode_oracle_sql(),
         "hex7_compact": _hex7_compact_oracle_sql(),
         "bm25_topk": _bm25_topk_oracle_sql(),
+        "cell_term_profile": _cell_term_profile_oracle_sql(),
         "image_decode": _image_decode_oracle_sql(),
         "image_resize": _image_resize_oracle_sql(),
         "kdisk_multiface": _kdisk_multiface_oracle_sql(),
@@ -4917,6 +4944,44 @@ def _hex7_compact_oracle_sql() -> str:
         SELECT printf('%016x', cell) AS hex7_tok,
                CAST(cell // {p58} AS INT) AS res
         FROM c1 ORDER BY hex7_tok
+    """
+
+
+def _cell_term_profile_oracle_sql() -> str:
+    r"""ANSI twin of operators/ranking.cell_term_profile over the
+    shared pure-SQL rhp encoder: same tokenizer (split-on-whitespace
+    of trimmed text, empty tokens dropped), integer tf/df, and the
+    idf written with the identical IEEE expression tree —
+    ln(1 + ((n_cells - df) + 0.5)/(df + 0.5)) — so the rounded score
+    and the term-tie-broken rank match bit-for-bit."""
+    pts = (
+        "SELECT doc_id AS pid, "
+        "((doc_id * 9973) % 360000) / 1000.0 - 180.0 AS lon, "
+        "((doc_id * 7919) % 178000) / 1000.0 - 89.0 AS lat "
+        "FROM documents"
+    )
+    enc2 = rhp_encode_sql(pts, 2)
+    return rf"""
+        WITH enc AS MATERIALIZED ({enc2}),
+        dt AS (SELECT e.cell_id AS tile_id, d.text
+               FROM enc e JOIN documents d ON d.doc_id = e.pid),
+        tok AS (SELECT tile_id, t.tok AS term
+                FROM dt, unnest(string_split_regex(trim(text), '\s+')) t(tok)
+                WHERE length(t.tok) > 0),
+        tf AS (SELECT tile_id, term, count(*) AS tf
+               FROM tok GROUP BY tile_id, term),
+        dft AS (SELECT term, count(*) AS df_cells FROM tf GROUP BY term),
+        nc AS (SELECT count(DISTINCT tile_id) AS n_cells FROM tf),
+        s AS (SELECT tile_id, term, tf, df_cells,
+                round(tf * ln(1.0
+                    + ((CAST(n_cells AS DOUBLE) - df_cells) + 0.5)
+                    / (df_cells + 0.5)), 6) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN nc),
+        r AS (SELECT *, row_number() OVER (PARTITION BY tile_id
+                ORDER BY score DESC, term ASC) AS rank FROM s)
+        SELECT tile_id, rank, term, tf, df_cells, score
+        FROM r WHERE rank <= 5
+        ORDER BY tile_id, rank
     """
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "cell_term_profile"]
 
 
 def bm25_topk(
@@ -174,5 +174,77 @@ def bm25_topk(
             "score",
             "n_terms_hit",
             "rank",
+        )
+    )
+
+
+def cell_term_profile(
+    df: DataFrame,
+    *,
+    cell_col: str = "tile_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k distinctive terms per DGGS cell — the graft's two halves
+    (rHEALPix tiling x web text) in one aggregate: treat each cell as
+    one "document" whose text is every page geotagged inside it, and
+    rank that cell's terms by tf x BM25-style idf
+    ``tf * ln(1 + ((n_cells - df) + 0.5)/(df + 0.5))`` where ``df`` is
+    the number of DISTINCT cells containing the term. The reference
+    repo has no text surface; this is an engine-level operator
+    (SURVEY.md §2.7 family) for "what is written about each place"
+    crawl analyses.
+
+    ``df`` must expose (``cell_col``, ``text_col``) — one row per
+    page, already encoded (e.g. ``rhp_encode`` prefix). Returns
+    (cell, rank, term, tf, df_cells, score) with ``rank <= k``;
+    ``score`` rounds to 6 decimals BEFORE ranking and ties break on
+    ascending term, so the result is deterministic under any
+    partitioning and bit-reproducible against the SQL twin.
+
+    Scale shape: one shuffle for the (cell, term) count with map-side
+    combine (the exploded token stream never shuffles raw — partial
+    counts do), one vocabulary-sized (term -> df) aggregate REUSED
+    from that output, joined back on term WITHOUT a broadcast hint —
+    at web scale the vocabulary exceeds broadcast size, so the plan
+    must stay a shuffle join (AQE upgrades it to broadcast when small);
+    the 1-row n_cells side is a literal-feed crossJoin. The final
+    window partitions by CELL — millions of partitions at scale, no
+    few-partition funnel (unlike bm25_topk's few-queries case, no
+    two-phase pass is needed)."""
+    toks = df.select(
+        F.col(cell_col).alias("_cell"),
+        F.explode(tokens(F.col(text_col))).alias("_term"),
+    ).where(F.length("_term") > 0)
+    tf = toks.groupBy("_cell", "_term").agg(F.count(F.lit(1)).alias("tf"))
+    # df = distinct-cell count per term: tf is already one row per
+    # (cell, term), so a plain count avoids an Expand pass.
+    dft = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("df_cells"))
+    ncells = tf.select("_cell").distinct().agg(
+        F.count(F.lit(1)).alias("_n_cells")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("_n_cells").cast("double") - F.col("df_cells")) + F.lit(0.5))
+        / (F.col("df_cells") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(dft, "_term")
+        .crossJoin(F.broadcast(ncells))
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy("_cell").orderBy(
+        F.col("score").desc(), F.col("_term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_cell").alias(cell_col),
+            "rank",
+            F.col("_term").alias("term"),
+            "tf",
+            "df_cells",
+            "score",
         )
     )

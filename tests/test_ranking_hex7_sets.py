@@ -80,6 +80,66 @@ def test_bm25_plan_prunes_before_shuffle(spark):
     assert "LeftSemi" in plan
 
 
+def test_cell_term_profile_hand_computation(spark):
+    # 2 cells, tiny vocab; tf*idf recomputed with math.log.
+    from rhealpixdggs_spark.operators.ranking import cell_term_profile
+
+    df = spark.createDataFrame(
+        [
+            ("N0", "cat dog cat"),
+            ("N0", "dog"),
+            ("N1", "dog fish fish"),
+        ],
+        "tile_id string, text string",
+    )
+    out = {
+        (r.tile_id, r.term): (r.tf, r.df_cells, r.score, r.rank)
+        for r in cell_term_profile(df, k=5).collect()
+    }
+    n_cells = 2
+
+    def s(tf, df):
+        return round(tf * math.log(1.0 + (n_cells - df + 0.5) / (df + 0.5)), 6)
+
+    # N0: cat tf=2 df=1, dog tf=2 df=2
+    assert out[("N0", "cat")] == (2, 1, s(2, 1), 1)
+    assert out[("N0", "dog")] == (2, 2, s(2, 2), 2)
+    # N1: fish tf=2 df=1 outranks dog tf=1 df=2
+    assert out[("N1", "fish")] == (2, 1, s(2, 1), 1)
+    assert out[("N1", "dog")] == (1, 2, s(1, 2), 2)
+
+
+def test_cell_term_profile_k_and_term_tiebreak(spark):
+    from rhealpixdggs_spark.operators.ranking import cell_term_profile
+
+    # 4 equal-score terms in one cell -> rank follows term asc, k=2 cuts.
+    df = spark.createDataFrame(
+        [("N0", "d c b a"), ("N1", "a b c d e")],
+        "tile_id string, text string",
+    )
+    out = cell_term_profile(df, k=2).where(F.col("tile_id") == "N0").orderBy("rank").collect()
+    assert [r.term for r in out] == ["a", "b"]
+    assert len(out) == 2
+
+
+def test_cell_term_profile_plan_no_cartesian(spark):
+    """Only nested-loop allowed is the 1-row n_cells literal feed; the
+    vocabulary (term -> df) join must NOT be hinted broadcast (at web
+    scale it exceeds broadcast size; AQE may still upgrade it when
+    tiny, so assert on the optimized logical plan's hints instead)."""
+    from rhealpixdggs_spark.operators.ranking import cell_term_profile
+
+    df = spark.createDataFrame(
+        [("N0", "a b"), ("N1", "b c")], "tile_id string, text string"
+    )
+    q = cell_term_profile(df, k=3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    logical = q._jdf.queryExecution().analyzed().toString()
+    # exactly one explicit broadcast hint: the 1-row stats side
+    assert logical.count("UnresolvedHint broadcast") <= 1
+
+
 # ---------------------------------------------------------------------------
 # hex7 compact / uncompact
 # ---------------------------------------------------------------------------
